@@ -1,0 +1,282 @@
+"""Freezeout-surface readers.
+
+Replaces the reference's FO_data_reader (src/cpp/readindata.cpp:122-729).
+Each reader produces a :class:`SurfaceData` struct-of-arrays (numpy f64, one
+entry per freezeout cell) in iS3D's internal units:
+
+  tau,x,y [fm]; eta [1]; dsigma_mu: dat,dax [fm^-2] ... ; u^mu [1, fm^-1];
+  E,P [GeV/fm^3]; T [GeV]; pi^munu [GeV/fm^3(4)]; bulkPi [GeV/fm^3];
+  muB [GeV]; nB [fm^-3]; V^mu [fm^-3(4)]; thermal vorticity wbar^munu.
+
+Supported formats (``mode``):
+  1 / 5 : CPU VH (or VAH), raw hbar=1 units     (readindata.cpp:167-367)
+  6     : MUSIC public, tau-scaled columns      (readindata.cpp:372-567)
+  7     : HIC-EventGen, 2+1d velocity columns   (readindata.cpp:570-729)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+
+from ..constants import hbarC
+
+_FIELDS = (
+    "tau", "x", "y", "eta",
+    "dat", "dax", "day", "dan",
+    "ux", "uy", "un",
+    "E", "T", "P",
+    "pixx", "pixy", "pixn", "piyy", "piyn",
+    "bulkPi",
+    "muB", "nB", "Vx", "Vy", "Vn",
+    "wtx", "wty", "wtn", "wxy", "wxn", "wyn",
+)
+
+
+@dataclasses.dataclass
+class ThermoAverages:
+    """ds_max-weighted surface averages (the reference's Plasma struct,
+    readindata.h:37-50; computed in readindata.cpp:330-366)."""
+
+    temperature: float                # GeV
+    energy_density: float             # GeV/fm^3
+    pressure: float                   # GeV/fm^3
+    baryon_chemical_potential: float  # GeV
+    net_baryon_density: float         # fm^-3
+
+    def write(self, path: str | Path) -> None:
+        p = Path(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(
+            f"{self.temperature:.15g}\n{self.energy_density:.15g}\n"
+            f"{self.pressure:.15g}\n{self.baryon_chemical_potential:.15g}\n"
+            f"{self.net_baryon_density:.15g}"
+        )
+
+    @classmethod
+    def read(cls, path: str | Path) -> "ThermoAverages":
+        vals = [float(t) for t in Path(path).read_text().split()]
+        return cls(*vals[:5])
+
+
+@dataclasses.dataclass
+class SurfaceData:
+    """Struct-of-arrays freezeout surface (iS3D units)."""
+
+    tau: np.ndarray
+    x: np.ndarray
+    y: np.ndarray
+    eta: np.ndarray
+    dat: np.ndarray
+    dax: np.ndarray
+    day: np.ndarray
+    dan: np.ndarray
+    ux: np.ndarray
+    uy: np.ndarray
+    un: np.ndarray
+    E: np.ndarray
+    T: np.ndarray
+    P: np.ndarray
+    pixx: np.ndarray
+    pixy: np.ndarray
+    pixn: np.ndarray
+    piyy: np.ndarray
+    piyn: np.ndarray
+    bulkPi: np.ndarray
+    muB: np.ndarray
+    nB: np.ndarray
+    Vx: np.ndarray
+    Vy: np.ndarray
+    Vn: np.ndarray
+    wtx: np.ndarray
+    wty: np.ndarray
+    wtn: np.ndarray
+    wxy: np.ndarray
+    wxn: np.ndarray
+    wyn: np.ndarray
+
+    @property
+    def n_cells(self) -> int:
+        return self.tau.shape[0]
+
+    @classmethod
+    def zeros(cls, n: int) -> "SurfaceData":
+        return cls(**{f: np.zeros(n, dtype=np.float64) for f in _FIELDS})
+
+    def ds_max(self) -> np.ndarray:
+        """Max volume element |ds| = |u.ds| + sqrt(|(u.ds)^2 - ds.ds|)
+        (readindata.cpp:342-344)."""
+        tau2 = self.tau**2
+        ut = np.sqrt(1.0 + self.ux**2 + self.uy**2 + tau2 * self.un**2)
+        uds = ut * self.dat + self.ux * self.dax + self.uy * self.day + self.un * self.dan
+        ds_ds = self.dat**2 - self.dax**2 - self.day**2 - self.dan**2 / tau2
+        return np.abs(uds) + np.sqrt(np.abs(uds**2 - ds_ds))
+
+    def thermo_averages(self) -> ThermoAverages:
+        w = self.ds_max()
+        tot = w.sum()
+        return ThermoAverages(
+            temperature=float((self.T * w).sum() / tot),
+            energy_density=float((self.E * w).sum() / tot),
+            pressure=float((self.P * w).sum() / tot),
+            baryon_chemical_potential=float((self.muB * w).sum() / tot),
+            net_baryon_density=float((self.nB * w).sum() / tot),
+        )
+
+
+def _enforce_boost_invariance(s: SurfaceData) -> None:
+    """2+1d surfaces: zero the spacetime rapidity (readindata.cpp:310-327)."""
+    s.eta[:] = 0.0
+
+
+def _read_cpu_vh(cols: np.ndarray, mode: int, include_baryon: bool) -> SurfaceData:
+    n = cols.shape[0]
+    s = SurfaceData.zeros(n)
+    s.tau, s.x, s.y, s.eta = cols[:, 0], cols[:, 1], cols[:, 2], cols[:, 3]
+    s.dat, s.dax, s.day, s.dan = cols[:, 4], cols[:, 5], cols[:, 6], cols[:, 7]
+    s.ux, s.uy, s.un = cols[:, 8], cols[:, 9], cols[:, 10]
+    s.E = cols[:, 11] * hbarC   # fm^-4 -> GeV/fm^3
+    s.T = cols[:, 12] * hbarC   # fm^-1 -> GeV
+    s.P = cols[:, 13] * hbarC
+    s.pixx = cols[:, 14] * hbarC
+    s.pixy = cols[:, 15] * hbarC
+    s.pixn = cols[:, 16] * hbarC
+    s.piyy = cols[:, 17] * hbarC
+    s.piyn = cols[:, 18] * hbarC
+    s.bulkPi = cols[:, 19] * hbarC
+    c = 20
+    if include_baryon:
+        s.muB = cols[:, c] * hbarC
+        s.nB = cols[:, c + 1]
+        s.Vx = cols[:, c + 2]
+        s.Vy = cols[:, c + 3]
+        s.Vn = cols[:, c + 4]
+        c += 5
+    if mode == 5:
+        s.wtx, s.wty, s.wtn = cols[:, c], cols[:, c + 1], cols[:, c + 2]
+        s.wxy, s.wxn, s.wyn = cols[:, c + 3], cols[:, c + 4], cols[:, c + 5]
+    return s
+
+
+def _read_music(cols: np.ndarray, include_baryon: bool) -> SurfaceData:
+    n = cols.shape[0]
+    s = SurfaceData.zeros(n)
+    tau = cols[:, 0]
+    s.tau, s.x, s.y, s.eta = tau, cols[:, 1], cols[:, 2], cols[:, 3]
+    # dsigma_mu / tau columns -> multiply by tau
+    s.dat = cols[:, 4] * tau
+    s.dax = cols[:, 5] * tau
+    s.day = cols[:, 6] * tau
+    s.dan = cols[:, 7] * tau
+    # u^t ux uy tau.u^eta
+    s.ux, s.uy = cols[:, 9], cols[:, 10]
+    s.un = cols[:, 11] / tau
+    s.E = cols[:, 12] * hbarC
+    T = cols[:, 13] * hbarC
+    s.T = T
+    s.muB = cols[:, 14] * hbarC
+    # cols 15,16 = muS, muC (unused); col 17 = (E+P)/T [fm^-3]
+    s.P = cols[:, 17] * T - s.E
+    # pi^tt tx ty tau.tn  xx xy tau.xn  yy tau.yn  tau2.nn
+    s.pixx = cols[:, 22] * hbarC
+    s.pixy = cols[:, 23] * hbarC
+    s.pixn = cols[:, 24] * hbarC / tau
+    s.piyy = cols[:, 25] * hbarC
+    s.piyn = cols[:, 26] * hbarC / tau
+    s.bulkPi = cols[:, 28] * hbarC
+    if include_baryon:
+        s.nB = cols[:, 29]
+        s.Vx = cols[:, 31]
+        s.Vy = cols[:, 32]
+        s.Vn = cols[:, 33] / tau
+    return s
+
+
+def _read_hic_eventgen(cols: np.ndarray) -> SurfaceData:
+    n = cols.shape[0]
+    s = SurfaceData.zeros(n)
+    tau = cols[:, 0]
+    s.tau, s.x, s.y = tau, cols[:, 1], cols[:, 2]
+    s.eta = np.zeros(n)
+    s.dat = cols[:, 4] * tau
+    s.dax = cols[:, 5] * tau
+    s.day = cols[:, 6] * tau
+    s.dan = np.zeros(n)
+    vx, vy = cols[:, 8], cols[:, 9]
+    ut = 1.0 / np.sqrt(np.abs(1.0 - vx**2 - vy**2))
+    s.ux = ut * vx
+    s.uy = ut * vy
+    s.un = np.zeros(n)
+    # shear columns 11..20 = pi^tt tx ty tau.tn xx xy tau.xn yy tau.yn tau2.nn [GeV/fm^3]
+    s.pixx = cols[:, 15]
+    s.pixy = cols[:, 16]
+    s.pixn = np.zeros(n)
+    s.piyy = cols[:, 18]
+    s.piyn = np.zeros(n)
+    s.bulkPi = cols[:, 21]
+    s.T = cols[:, 22]
+    s.E = cols[:, 23]
+    s.P = cols[:, 24]
+    s.muB = cols[:, 25]
+    return s
+
+
+def read_surface(path: str | Path, mode: int, dimension: int,
+                 include_baryon: bool) -> SurfaceData:
+    """Read input/surface.dat in the format selected by ``mode``.
+
+    Uses a single vectorized np.loadtxt pass (the reference streams cell by
+    cell with operator>>, readindata.cpp:219-352).
+    """
+    cols = np.loadtxt(path, dtype=np.float64, ndmin=2)
+    if mode in (1, 5):
+        s = _read_cpu_vh(cols, mode, include_baryon)
+    elif mode == 6:
+        s = _read_music(cols, include_baryon)
+    elif mode == 7:
+        if dimension != 2:
+            raise ValueError("HIC-EventGen surfaces are boost-invariant (dimension must be 2)")
+        if include_baryon:
+            raise ValueError("HIC-EventGen has no baryon chemical potential (set include_baryon = 0)")
+        s = _read_hic_eventgen(cols)
+    else:
+        raise ValueError(f"unknown surface mode {mode}")
+    if dimension == 2:
+        _enforce_boost_invariance(s)
+    return s
+
+
+def surface_from_memory(tau, x, y, eta, dsigma_tau, dsigma_x, dsigma_y,
+                        dsigma_eta, E, T, P, ux, uy, un, pixx, pixy, pixn,
+                        piyy, piyn, pinn, Pi) -> SurfaceData:
+    """JETSCAPE-style in-memory surface load (iS3D.cpp:33-78).
+
+    Inputs are already in iS3D units (GeV / fm); pinn is accepted but
+    recomputed internally from orthogonality+tracelessness, as the reference
+    does ("pinn is extraneous", iS3D.cpp:76).
+    """
+    n = len(tau)
+    s = SurfaceData.zeros(n)
+    s.tau = np.asarray(tau, dtype=np.float64)
+    s.x = np.asarray(x, dtype=np.float64)
+    s.y = np.asarray(y, dtype=np.float64)
+    s.eta = np.asarray(eta, dtype=np.float64)
+    s.dat = np.asarray(dsigma_tau, dtype=np.float64)
+    s.dax = np.asarray(dsigma_x, dtype=np.float64)
+    s.day = np.asarray(dsigma_y, dtype=np.float64)
+    s.dan = np.asarray(dsigma_eta, dtype=np.float64)
+    s.E = np.asarray(E, dtype=np.float64)
+    s.T = np.asarray(T, dtype=np.float64)
+    s.P = np.asarray(P, dtype=np.float64)
+    s.ux = np.asarray(ux, dtype=np.float64)
+    s.uy = np.asarray(uy, dtype=np.float64)
+    s.un = np.asarray(un, dtype=np.float64)
+    s.pixx = np.asarray(pixx, dtype=np.float64)
+    s.pixy = np.asarray(pixy, dtype=np.float64)
+    s.pixn = np.asarray(pixn, dtype=np.float64)
+    s.piyy = np.asarray(piyy, dtype=np.float64)
+    s.piyn = np.asarray(piyn, dtype=np.float64)
+    s.bulkPi = np.asarray(Pi, dtype=np.float64)
+    return s

@@ -1,0 +1,139 @@
+"""I/O layer tests against the reference's bundled data files."""
+
+import numpy as np
+import pytest
+
+from is3d2_tpu.config import Config
+from is3d2_tpu.io.tables import GaussLaguerre, GaussLegendre, MomentumGrids, load_table
+from is3d2_tpu.io.pdg import read_pdg, decode_mcid
+from is3d2_tpu.io.surface import read_surface
+from is3d2_tpu.io.deltaf_tables import DeltafTables
+from is3d2_tpu.constants import hbarC
+
+
+def test_config_from_reference_file(reference_dir):
+    cfg = Config.from_file(reference_dir / "iS3D_parameters.dat")
+    assert cfg.operation == 1
+    assert cfg.mode == 1
+    assert cfg.hrg_eos == 3
+    assert cfg.dimension == 2
+    assert cfg.df_mode == 4
+    assert cfg.include_shear_deltaf == 1
+    assert cfg.include_baryon == 0
+    assert cfg.deta_min == pytest.approx(1e-5)
+    assert cfg.min_num_hadrons == pytest.approx(1e7)
+    assert cfg.sampler_seed == 1
+    cfg.validate()
+
+
+def test_gauss_laguerre(reference_dir):
+    gla = GaussLaguerre.from_file(reference_dir / "tables/gauss/gla_roots_weights.txt")
+    assert gla.roots.shape == (21, 32)
+    # family a: integral x^a e^-x dx = a!
+    for a, fact in ((0, 1.0), (1, 1.0), (2, 2.0), (3, 6.0)):
+        assert gla.weights[a].sum() == pytest.approx(fact, rel=1e-12)
+
+
+def test_gauss_legendre(reference_dir):
+    gl = GaussLegendre.from_file(reference_dir / "tables/gauss/gauss_legendre.dat")
+    assert gl.points == 32
+    assert gl.weights.sum() == pytest.approx(2.0, rel=1e-10)
+    assert np.dot(gl.weights, gl.roots**2) == pytest.approx(2.0 / 3.0, rel=1e-8)
+
+
+def test_momentum_grids(reference_dir):
+    g = MomentumGrids.from_dir(reference_dir / "tables")
+    assert g.pT.shape[0] == 51
+    assert g.phi.shape[0] == 1
+    assert g.phi_weight[0] == pytest.approx(2 * np.pi, rel=1e-8)
+    assert g.eta.shape[0] >= 20
+    # eta weights integrate ~ a smooth function over full range
+    assert g.eta_weight.sum() > 0
+
+
+def test_pdg_urqmd(reference_dir):
+    table = read_pdg(1, reference_dir / "PDG")
+    n_b = int((table.baryon > 0).sum())
+    n_ab = int((table.baryon < 0).sum())
+    assert n_b == n_ab and n_b > 0
+    # pion0
+    i = table.index_of_mcid(111)
+    assert table.mass[i] == pytest.approx(0.138)
+    assert table.sign[i] == -1
+    assert table.gspin[i] == 1
+    # proton is a fermion with baryon 1
+    p = table.index_of_mcid(2212)
+    assert table.sign[p] == 1 and table.baryon[p] == 1
+    # antiproton auto-generated
+    ap = table.index_of_mcid(-2212)
+    assert table.mass[ap] == table.mass[p]
+    assert table.baryon[ap] == -1
+
+
+def test_pdg_smash_box(reference_dir):
+    table = read_pdg(3, reference_dir / "PDG")
+    assert len(table) > 100
+    n_b = int((table.baryon > 0).sum())
+    n_ab = int((table.baryon < 0).sum())
+    assert n_b == n_ab
+    i = table.index_of_mcid(111)
+    assert table.mass[i] == pytest.approx(0.138)
+    assert table.baryon[i] == 0 and table.sign[i] == -1
+    # charged pions have antiparticles, pi0 does not
+    assert (table.mc_id == -211).any()
+    assert not (table.mc_id == -111).any()
+
+
+def test_decode_mcid():
+    # proton 2212: baryon, gspin 2, fermion
+    info = decode_mcid(2212)
+    assert info == {"gspin": 2, "baryon": 1, "sign": 1,
+                    "has_antiparticle": True, "is_meson": False, "is_baryon": True}
+    # pi+ 211: meson, gspin 1, boson, has antiparticle (nq2 != nq3)
+    info = decode_mcid(211)
+    assert info["gspin"] == 1 and info["baryon"] == 0 and info["sign"] == -1
+    assert info["has_antiparticle"]
+    # pi0 111: self-conjugate
+    assert not decode_mcid(111)["has_antiparticle"]
+    # Delta(1232)++ 2224: gspin 4
+    assert decode_mcid(2224)["gspin"] == 4
+
+
+def test_surface_reader_single_cell(reference_dir):
+    # The bundled input/surface.dat appears to carry an extra u^t column;
+    # the C++ CPU reader nevertheless parses it positionally
+    # (readindata.cpp:219-307).  We match that behavior exactly:
+    # col 8 -> ux = 1, col 11 -> E = 0, col 12 -> T = 1.40186/hbarC, ...
+    s = read_surface(reference_dir / "input/surface.dat", mode=1, dimension=2,
+                     include_baryon=False)
+    assert s.n_cells == 1
+    assert s.tau[0] == 1.0
+    assert s.dat[0] == 100.0
+    assert s.ux[0] == 1.0
+    assert s.E[0] == 0.0
+    assert s.T[0] == pytest.approx(1.40186 * hbarC)
+    assert s.P[0] == pytest.approx(0.760295 * hbarC)
+    assert s.eta[0] == 0.0
+
+    avg = s.thermo_averages()
+    assert avg.temperature == pytest.approx(1.40186 * hbarC)
+
+
+def test_deltaf_tables(reference_dir):
+    t = DeltafTables.load(3, include_baryon=False,
+                          base_dir=reference_dir / "deltaf_coefficients/vh")
+    assert t.points_T == 101
+    assert t.T_grid[0] == pytest.approx(0.1)
+    t1 = DeltafTables.load(1, include_baryon=False,
+                           base_dir=reference_dir / "deltaf_coefficients/vh")
+    assert t1.betapi[0, 0] == pytest.approx(29.335293)  # head of urqmd/betapi.dat
+    t2 = DeltafTables.load(1, include_baryon=True,
+                           base_dir=reference_dir / "deltaf_coefficients/vh")
+    assert t2.points_muB == 81
+
+
+def test_chosen_particles(reference_dir):
+    table = read_pdg(3, reference_dir / "PDG")
+    chosen = load_table(reference_dir / "PDG/chosen_particles.dat")[:, 0].astype(int)
+    idx = table.chosen_indices(chosen)
+    assert list(table.mc_id[idx]) == list(chosen)

@@ -13,7 +13,7 @@ import dataclasses
 from pathlib import Path
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True, eq=True)
 class Config:
     # what to compute (iS3D_parameters.dat: operation)
     #   0 = spacetime distributions dN/dX

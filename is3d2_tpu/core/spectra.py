@@ -1,0 +1,286 @@
+"""Continuous Cooper-Frye momentum spectra dN/(pT dpT dphi dy).
+
+TPU-native replacement for the reference's OpenMP cell loops:
+  * df 1/2 (Grad-14 / Chapman-Enskog): MomentumSpectra.cpp:32-415
+  * df 3/4 (PTM / PTB feqmod):         MomentumSpectra.cpp:419-1044
+  * df 5   (PTMA famod):               MomentumSpectra.cpp:1049-1682
+
+Design: the reference strides cells across cores, each core accumulating a
+private spectra slab followed by a reduction (MomentumSpectra.cpp:95-415).
+Here the cell axis is blocked and scanned on-device: each block evaluates the
+full (cells x species x pT x phi x y x eta) integrand as one fused XLA
+elementwise+reduce expression and accumulates into the spectra tensor.  No
+host round trips; cell blocks can additionally be sharded across devices
+(parallel/sharding.py) with a final psum playing the role of the reference's
+core reduction.
+
+All data-dependent per-cell branches of the reference (u.dsigma <= 0 skip,
+outflow Theta, feqmod breakdown, |df| <= 1 regulation) are masks/where's.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..constants import hbarC, two_pi2_hbarC3
+from ..io.pdg import SpeciesTable
+from ..io.tables import GaussLaguerre, MomentumGrids
+from ..physics import lrf, thermal
+from ..physics.deltaf import DeltafData
+from .cells import CellArrays, prepare_cells, evaluate_cell_deltaf
+
+PREFACTOR = (2.0 * jnp.pi * hbarC) ** -3  # CF prefactor (MomentumSpectra.cpp:38)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SpeciesArrays:
+    """Chosen-species properties on device."""
+
+    mass: jnp.ndarray        # (S,)
+    sign: jnp.ndarray
+    degeneracy: jnp.ndarray
+    baryon: jnp.ndarray
+
+    @classmethod
+    def from_table(cls, table: SpeciesTable, indices: np.ndarray) -> "SpeciesArrays":
+        return cls(
+            mass=jnp.asarray(table.mass[indices]),
+            sign=jnp.asarray(table.sign[indices]),
+            degeneracy=jnp.asarray(table.gspin[indices]),
+            baryon=jnp.asarray(table.baryon[indices]),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MomentumGridDevice:
+    pT: jnp.ndarray
+    cos_phi: jnp.ndarray
+    sin_phi: jnp.ndarray
+    y: jnp.ndarray
+    eta: jnp.ndarray
+    eta_weight: jnp.ndarray
+
+    @classmethod
+    def from_grids(cls, g: MomentumGrids, dimension: int) -> "MomentumGridDevice":
+        if dimension == 2:
+            y = jnp.zeros(1)
+            eta = jnp.asarray(g.eta)
+            eta_w = jnp.asarray(g.eta_weight)
+        else:
+            y = jnp.asarray(g.y)
+            eta = jnp.zeros(1)       # replaced by the cell eta inside the kernel
+            eta_w = jnp.ones(1)
+        return cls(pT=jnp.asarray(g.pT), cos_phi=jnp.asarray(np.cos(g.phi)),
+                   sin_phi=jnp.asarray(np.sin(g.phi)), y=y, eta=eta, eta_weight=eta_w)
+
+
+def _momentum_tensors(cells_blk, grid: MomentumGridDevice, species: SpeciesArrays,
+                      dimension: int, eta_scale=None):
+    """Common kinematic tensors for one cell block.
+
+    Axes: c = cell, s = species, p = pT, f = phi, y = rapidity, e = eta.
+    Returns pt[c,s,p,y,e], pn[c,s,p,y,e], px[p,f], py[p,f].
+    """
+    mT = jnp.sqrt(species.mass[:, None] ** 2 + grid.pT[None, :] ** 2)  # (s,p)
+    px = grid.pT[:, None] * grid.cos_phi[None, :]                      # (p,f)
+    py = grid.pT[:, None] * grid.sin_phi[None, :]
+
+    if dimension == 2:
+        # y = 0; eta from the table, optionally rescaled per cell (feqmod)
+        eta = grid.eta[None, :]                                        # (1,e)
+        if eta_scale is not None:
+            eta = eta_scale[:, None] * grid.eta[None, :]               # (c,e)
+        delta = -eta[:, None, :]                                       # (c,y=1,e)
+    else:
+        # eta = cell eta (single point), y from the table
+        delta = grid.y[None, :, None] - cells_blk.eta[:, None, None]   # (c,y,e=1)
+
+    sinh_d = jnp.sinh(delta)
+    cosh_d = jnp.sqrt(1.0 + sinh_d * sinh_d)
+
+    # pt[c,s,p,y,e] = mT[s,p] cosh(y-eta);  pn = mT/tau sinh(y-eta)
+    pt = mT[None, :, :, None, None] * cosh_d[:, None, None, :, :]
+    pn = (mT[None, :, :, None, None] / cells_blk.tau[:, None, None, None, None]
+          * sinh_d[:, None, None, :, :])
+    return pt, pn, px, py
+
+
+def _cell_block_df12(cells_blk: CellArrays, coeffs_blk, species: SpeciesArrays,
+                     grid: MomentumGridDevice, cfg: Config):
+    """Spectra contribution of one cell block, df modes 1/2
+    (the hot loop of MomentumSpectra.cpp:250-377).
+
+    Everything is expressed on broadcast axes (c,s,p,f,y,e); XLA fuses the
+    elementwise chain into the (c,e) reduction so the full 6-d tensor is
+    never materialized in HBM.
+    """
+    c = cells_blk
+    pt5, pn5, px2, py2 = _momentum_tensors(c, grid, species, cfg.dimension)
+
+    def C(a):  # cell scalar -> (c,1,1,1,1,1)
+        return a[:, None, None, None, None, None]
+
+    def S(a):  # species scalar -> (1,s,1,1,1,1)
+        return a[None, :, None, None, None, None]
+
+    def P5(a):  # (c,s,p,y,e) -> (c,s,p,1,y,e)
+        return a[:, :, :, None, :, :]
+
+    def F2(a):  # (p,f) -> (1,1,p,f,1,1)
+        return a[None, None, :, :, None, None]
+
+    pt = P5(pt5)
+    pn = P5(pn5)
+    px = F2(px2)
+    py = F2(py2)
+
+    tau2 = c.tau * c.tau
+
+    # p.dsigma  (momentum contravariant, dsigma covariant)
+    pdd = pt * C(c.dat) + px * C(c.dax) + py * C(c.day) + pn * C(c.dan)
+
+    # u.p (LRF energy)
+    E_lrf = pt * C(c.ut) - px * C(c.ux) - py * C(c.uy) - pn * C(tau2 * c.un)
+
+    chem = S(species.baryon) * C(c.alphaB)
+    sgn = S(species.sign)
+    feq = 1.0 / (jnp.exp(E_lrf / C(c.T) - chem) + sgn)
+    feqbar = 1.0 - sgn * feq
+
+    # pi^munu p_mu p_nu  (MomentumSpectra.cpp:323-324)
+    pimunu_pp = (C(c.pitt) * pt * pt + C(c.pixx) * px * px + C(c.piyy) * py * py
+                 + C(tau2 * tau2 * c.pinn) * pn * pn
+                 + 2.0 * (-(C(c.pitx) * px + C(c.pity) * py) * pt
+                          + C(c.pixy) * px * py
+                          + C(tau2) * pn * (C(c.pixn) * px + C(c.piyn) * py
+                                            - C(c.pitn) * pt)))
+
+    # V^mu p_mu
+    V_pp = pt * C(c.Vt) - px * C(c.Vx) - py * C(c.Vy) - pn * C(tau2 * c.Vn)
+
+    mass2 = S(species.mass ** 2)
+    b_s = S(species.baryon)
+
+    if cfg.df_mode == 1:
+        df_shear = C(coeffs_blk["shear"]) * pimunu_pp
+        df_bulk = C(coeffs_blk["bulk0"]) * mass2 \
+            + (C(coeffs_blk["bulk1"]) * b_s + C(coeffs_blk["bulk2"]) * E_lrf) * E_lrf
+        df_diff = (C(coeffs_blk["diff0"]) * b_s + C(coeffs_blk["diff1"]) * E_lrf) * V_pp
+    elif cfg.df_mode == 2:
+        df_shear = C(coeffs_blk["shear"]) * pimunu_pp / E_lrf
+        df_bulk = C(coeffs_blk["bulk0"]) * E_lrf + C(coeffs_blk["bulk1"]) * b_s \
+            + C(coeffs_blk["bulk2"]) * (E_lrf - mass2 / E_lrf)
+        df_diff = (C(coeffs_blk["diff0"]) - C(coeffs_blk["diff1"]) * b_s / E_lrf) * V_pp
+    else:
+        raise ValueError("df12 kernel supports df_mode 1/2 only")
+
+    df = feqbar * (df_shear + df_bulk + df_diff)
+    if cfg.regulate_deltaf:
+        df = jnp.clip(df, -1.0, 1.0)
+
+    f = feq * (1.0 + df)
+
+    if cfg.outflow:
+        pdd = jnp.where(pdd > 0.0, pdd, 0.0)
+
+    w = grid.eta_weight[None, None, None, None, None, :] \
+        * c.mask[:, None, None, None, None, None]
+    # reduce over cells and eta -> (s,p,f,y)
+    contrib = jnp.sum(w * pdd * f, axis=(0, 5))
+    return PREFACTOR * species.degeneracy[:, None, None, None] * contrib
+
+
+def _scan_blocks(block_fn, cells: CellArrays, coeffs: dict, n_blocks: int,
+                 out_shape: tuple):
+    """Scan a per-block contribution function over the padded cell axis."""
+    def take_block(a, i, blk):
+        return jax.lax.dynamic_slice_in_dim(a, i * blk, blk, axis=0)
+
+    blk = cells.n_padded // n_blocks
+
+    def body(acc, i):
+        cells_blk = jax.tree_util.tree_map(lambda a: take_block(a, i, blk), cells)
+        coeffs_blk = {k: take_block(v, i, blk) for k, v in coeffs.items()}
+        return acc + block_fn(cells_blk, coeffs_blk), None
+
+    acc0 = jnp.zeros(out_shape)
+    acc, _ = jax.lax.scan(body, acc0, jnp.arange(n_blocks))
+    return acc
+
+
+def df12_cell_coefficients(cells: CellArrays, df_data: DeltafData,
+                           cfg: Config) -> dict:
+    """Per-cell shear/bulk/diffusion coefficient columns
+    (MomentumSpectra.cpp:213-246)."""
+    df = evaluate_cell_deltaf(cells, df_data, cfg)
+    T = cells.T
+    bulkPi = cells.bulkPi
+    if cfg.df_mode == 1:
+        return {
+            "shear": 1.0 / df.shear14,
+            "bulk0": (df.c0 - df.c2) * bulkPi,
+            "bulk1": df.c1 * bulkPi,
+            "bulk2": (4.0 * df.c2 - df.c0) * bulkPi,
+            "diff0": df.c3,
+            "diff1": df.c4,
+        }
+    if cfg.df_mode == 2:
+        return {
+            "shear": 0.5 / (df.betapi * T),
+            "bulk0": df.F / (T * T * df.betabulk) * bulkPi,
+            "bulk1": df.G / df.betabulk * bulkPi,
+            "bulk2": bulkPi / (3.0 * T * df.betabulk),
+            "diff0": cells.baryon_enthalpy_ratio / df.betaV,
+            "diff1": 1.0 / df.betaV,
+        }
+    raise ValueError("df12_cell_coefficients requires df_mode 1 or 2")
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_blocks"))
+def _spectra_df12_jit(cells: CellArrays, coeffs: dict, species: SpeciesArrays,
+                      grid: MomentumGridDevice, cfg: Config, n_blocks: int):
+    S = species.mass.shape[0]
+    out_shape = (S, grid.pT.shape[0], grid.cos_phi.shape[0], grid.y.shape[0])
+    return _scan_blocks(
+        lambda cb, kb: _cell_block_df12(cb, kb, species, grid, cfg),
+        cells, coeffs, n_blocks, out_shape)
+
+
+def compute_spectra(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
+                    grids: MomentumGrids, df_data: DeltafData, cfg: Config,
+                    laguerre: GaussLaguerre | None = None,
+                    cell_block: int | None = None) -> np.ndarray:
+    """Continuous spectra dN/(pT dpT dphi dy), shape (S, NpT, Nphi, Ny).
+
+    Dispatcher over df modes (EmissionFunction.cpp:1198-1226).
+    """
+    cfg.validate()
+    block = min(cell_block or cfg.cell_block, 1 << 30)
+    cells = prepare_cells(surf, cfg, block=block)
+    n_blocks = max(cells.n_padded // min(block, cells.n_padded), 1)
+
+    species = SpeciesArrays.from_table(species_table, chosen_idx)
+    grid = MomentumGridDevice.from_grids(grids, cfg.dimension)
+
+    if cfg.df_mode in (1, 2):
+        coeffs = df12_cell_coefficients(cells, df_data, cfg)
+        out = _spectra_df12_jit(cells, coeffs, species, grid, cfg, n_blocks)
+    elif cfg.df_mode in (3, 4):
+        from .spectra_feqmod import compute_spectra_feqmod
+        out = compute_spectra_feqmod(cells, species, grid, df_data, cfg,
+                                     laguerre, n_blocks)
+    elif cfg.df_mode == 5:
+        from .spectra_famod import compute_spectra_famod
+        out = compute_spectra_famod(cells, species, grid, species_table, cfg,
+                                    n_blocks)
+    else:
+        raise ValueError("df_mode must be 1..5")
+    return np.asarray(out)

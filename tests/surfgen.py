@@ -1,0 +1,79 @@
+"""Synthetic freezeout-surface generator for validation tests.
+
+Produces physically sensible cells (T inside the delta-f coefficient tables,
+viscous stresses small relative to E+P) and can write them in the mode-1
+CPU-VH file format (raw hbar=1 units) that both the reference binary and our
+reader consume.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from is3d2_tpu.constants import hbarC
+from is3d2_tpu.io.surface import SurfaceData
+
+
+def make_surface(n_cells: int, seed: int = 0, dimension: int = 2,
+                 include_baryon: bool = False, vorticity: bool = False,
+                 shear_scale: float = 0.02, bulk_scale: float = 0.01) -> SurfaceData:
+    rng = np.random.default_rng(seed)
+    s = SurfaceData.zeros(n_cells)
+    s.tau = rng.uniform(1.0, 10.0, n_cells)
+    s.x = rng.uniform(-10.0, 10.0, n_cells)
+    s.y = rng.uniform(-10.0, 10.0, n_cells)
+    s.eta = np.zeros(n_cells) if dimension == 2 else rng.uniform(-2.0, 2.0, n_cells)
+
+    # surface normal: mostly timelike with some spatial tilt
+    s.dat = rng.uniform(0.05, 0.4, n_cells)
+    s.dax = rng.uniform(-0.1, 0.1, n_cells)
+    s.day = rng.uniform(-0.1, 0.1, n_cells)
+    s.dan = np.zeros(n_cells) if dimension == 2 else rng.uniform(-0.02, 0.02, n_cells)
+
+    s.ux = rng.uniform(-1.0, 1.0, n_cells)
+    s.uy = rng.uniform(-1.0, 1.0, n_cells)
+    s.un = np.zeros(n_cells) if dimension == 2 else rng.uniform(-0.05, 0.05, n_cells)
+
+    s.T = rng.uniform(0.145, 0.165, n_cells)     # GeV, inside table range
+    s.E = rng.uniform(0.22, 0.36, n_cells)       # GeV/fm^3
+    s.P = rng.uniform(0.07, 0.11, n_cells)
+
+    scale = shear_scale * (s.E + s.P)
+    s.pixx = rng.uniform(-1.0, 1.0, n_cells) * scale
+    s.pixy = rng.uniform(-1.0, 1.0, n_cells) * scale
+    s.piyy = rng.uniform(-1.0, 1.0, n_cells) * scale
+    if dimension == 3:
+        s.pixn = rng.uniform(-1.0, 1.0, n_cells) * scale * 0.1
+        s.piyn = rng.uniform(-1.0, 1.0, n_cells) * scale * 0.1
+
+    s.bulkPi = rng.uniform(-1.0, 1.0, n_cells) * bulk_scale * (s.E + s.P)
+
+    if include_baryon:
+        s.muB = rng.uniform(0.0, 0.2, n_cells)
+        s.nB = rng.uniform(0.0, 0.1, n_cells)
+        s.Vx = rng.uniform(-0.01, 0.01, n_cells)
+        s.Vy = rng.uniform(-0.01, 0.01, n_cells)
+        s.Vn = np.zeros(n_cells) if dimension == 2 else rng.uniform(-0.002, 0.002, n_cells)
+
+    if vorticity:
+        for f in ("wtx", "wty", "wtn", "wxy", "wxn", "wyn"):
+            setattr(s, f, rng.uniform(-0.05, 0.05, n_cells))
+    return s
+
+
+def write_mode1(s: SurfaceData, path: str | Path, include_baryon: bool = False,
+                vorticity: bool = False) -> None:
+    """Write in mode-1/5 CPU-VH format (raw hbar=1 units, one row per cell)."""
+    cols = [s.tau, s.x, s.y, s.eta, s.dat, s.dax, s.day, s.dan,
+            s.ux, s.uy, s.un,
+            s.E / hbarC, s.T / hbarC, s.P / hbarC,
+            s.pixx / hbarC, s.pixy / hbarC, s.pixn / hbarC,
+            s.piyy / hbarC, s.piyn / hbarC, s.bulkPi / hbarC]
+    if include_baryon:
+        cols += [s.muB / hbarC, s.nB, s.Vx, s.Vy, s.Vn]
+    if vorticity:
+        cols += [s.wtx, s.wty, s.wtn, s.wxy, s.wxn, s.wyn]
+    arr = np.column_stack(cols)
+    np.savetxt(path, arr, fmt="%.16e")

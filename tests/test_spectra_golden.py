@@ -1,0 +1,86 @@
+"""Golden tests: continuous spectra vs the reference C++ binary.
+
+The reference (compiled in-place against a minimal GSL shim) runs on a
+synthetic surface; our engine must reproduce dN/(pT dpT dphi dy) to 1e-6
+relative accuracy (BASELINE.md accuracy bar).
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+from surfgen import make_surface, write_mode1
+from oracle.run_oracle import setup_sandbox, run_oracle
+
+from is3d2_tpu.config import Config
+from is3d2_tpu.io.pdg import read_pdg
+from is3d2_tpu.io.tables import GaussLaguerre, MomentumGrids
+from is3d2_tpu.io.deltaf_tables import DeltafTables
+from is3d2_tpu.io.surface import read_surface
+from is3d2_tpu.physics.deltaf import DeltafData
+from is3d2_tpu.core.spectra import compute_spectra
+
+PIKP = (111, 321, 2212)
+
+
+def _read_oracle_spectra(sandbox: Path, mcids, NpT, Nphi, Ny):
+    """Parse results/continuous/dN_pTdpTdphidy_<mcid>.dat (rows y phip pT val,
+    written iy-major then iphip then ipT; EmissionFunction.cpp:406-440)."""
+    out = np.zeros((len(mcids), NpT, Nphi, Ny))
+    for i, mcid in enumerate(mcids):
+        f = sandbox / f"results/continuous/dN_pTdpTdphidy_{mcid}.dat"
+        rows = np.loadtxt(f, skiprows=1)
+        vals = rows[:, 3].reshape(Ny, Nphi, NpT)
+        out[i] = vals.transpose(2, 1, 0)
+    return out
+
+
+@pytest.fixture(scope="module")
+def golden_env(reference_dir, tmp_path_factory):
+    surf = make_surface(60, seed=42)
+    root = tmp_path_factory.mktemp("golden")
+    surf_file = root / "surface_gen.dat"
+    write_mode1(surf, surf_file)
+
+    species = read_pdg(3, reference_dir / "PDG")
+    grids = MomentumGrids.from_dir(reference_dir / "tables")
+    laguerre = GaussLaguerre.from_file(reference_dir / "tables/gauss/gla_roots_weights.txt")
+    tables = DeltafTables.load(3, include_baryon=False,
+                               base_dir=reference_dir / "deltaf_coefficients/vh")
+    return surf, surf_file, root, species, grids, laguerre, tables
+
+
+@pytest.mark.parametrize("df_mode,regulate,outflow", [
+    (1, 0, 0), (2, 0, 0), (1, 1, 1), (2, 1, 1),
+])
+def test_spectra_df12_vs_oracle(golden_env, df_mode, regulate, outflow):
+    surf, surf_file, root, species, grids, laguerre, tables = golden_env
+
+    sandbox = root / f"df{df_mode}_r{regulate}_o{outflow}"
+    params = {"operation": 1, "df_mode": df_mode, "hrg_eos": 3,
+              "include_shear_deltaf": 1, "include_bulk_deltaf": 1,
+              "regulate_deltaf": regulate, "outflow": outflow}
+    setup_sandbox(sandbox, params, surf_file, chosen_mcids=PIKP)
+    run_oracle(sandbox)
+
+    cfg = Config(operation=1, mode=1, hrg_eos=3, dimension=2, df_mode=df_mode,
+                 include_shear_deltaf=1, include_bulk_deltaf=1,
+                 regulate_deltaf=regulate, outflow=outflow, cell_block=32)
+    df_data = DeltafData(tables, df_mode, include_baryon=False)
+    chosen = species.chosen_indices(PIKP)
+
+    ours = compute_spectra(surf, species, chosen, grids, df_data, cfg, laguerre)
+
+    NpT, Nphi, Ny = len(grids.pT), len(grids.phi), 1
+    ref = _read_oracle_spectra(sandbox, PIKP, NpT, Nphi, Ny)
+
+    assert ours.shape == ref.shape
+    scale = np.abs(ref).max()
+    err = np.abs(ours - ref) / np.maximum(np.abs(ref), 1e-12 * scale)
+    # only judge points that aren't vanishingly small
+    sig = np.abs(ref) > 1e-10 * scale
+    assert err[sig].max() < 1e-6, f"max rel err {err[sig].max():.3e}"

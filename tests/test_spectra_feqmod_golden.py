@@ -1,0 +1,71 @@
+"""Golden tests for the feqmod (PTM/PTB) spectra vs the reference binary."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+from surfgen import make_surface, write_mode1
+from oracle.run_oracle import setup_sandbox, run_oracle
+from test_spectra_golden import _read_oracle_spectra, PIKP
+
+from is3d2_tpu.config import Config
+from is3d2_tpu.io.pdg import read_pdg
+from is3d2_tpu.io.tables import GaussLaguerre, MomentumGrids
+from is3d2_tpu.io.deltaf_tables import DeltafTables
+from is3d2_tpu.physics.deltaf import DeltafData
+from is3d2_tpu.core.spectra import compute_spectra
+
+
+def _compare(ours, ref, tol=1e-6):
+    scale = np.abs(ref).max()
+    err = np.abs(ours - ref) / np.maximum(np.abs(ref), 1e-12 * scale)
+    sig = np.abs(ref) > 1e-10 * scale
+    assert err[sig].max() < tol, f"max rel err {err[sig].max():.3e}"
+
+
+@pytest.fixture(scope="module")
+def env(reference_dir):
+    species = read_pdg(3, reference_dir / "PDG")
+    grids = MomentumGrids.from_dir(reference_dir / "tables")
+    laguerre = GaussLaguerre.from_file(reference_dir / "tables/gauss/gla_roots_weights.txt")
+    tables = DeltafTables.load(3, include_baryon=False,
+                               base_dir=reference_dir / "deltaf_coefficients/vh")
+    return species, grids, laguerre, tables
+
+
+@pytest.mark.parametrize("df_mode,bulk_scale,label", [
+    (3, 0.01, "small_bulk"),
+    (4, 0.01, "small_bulk"),
+    (3, 0.12, "large_bulk"),   # drives some cells into feqmod breakdown
+    (4, 0.12, "large_bulk"),
+])
+def test_spectra_feqmod_vs_oracle(reference_dir, tmp_path, env, df_mode,
+                                  bulk_scale, label):
+    species, grids, laguerre, tables = env
+    surf = make_surface(50, seed=17, bulk_scale=bulk_scale, shear_scale=0.05)
+    surf_file = tmp_path / "surface_gen.dat"
+    write_mode1(surf, surf_file)
+
+    sandbox = tmp_path / f"sb_df{df_mode}_{label}"
+    params = {"operation": 1, "df_mode": df_mode, "hrg_eos": 3,
+              "include_shear_deltaf": 1, "include_bulk_deltaf": 1}
+    setup_sandbox(sandbox, params, surf_file, chosen_mcids=PIKP)
+    run_oracle(sandbox)
+
+    cfg = Config(operation=1, df_mode=df_mode, hrg_eos=3,
+                 include_shear_deltaf=1, include_bulk_deltaf=1, cell_block=32)
+    df_data = DeltafData(tables, df_mode, include_baryon=False)
+    if df_mode == 4:
+        from is3d2_tpu.io.surface import ThermoAverages
+        plasma = ThermoAverages.read(
+            sandbox / "tables/thermodynamic/average_thermodynamic_quantities.dat")
+        df_data.compute_jonah_coefficients(species, laguerre, plasma)
+    chosen = species.chosen_indices(PIKP)
+
+    ours = compute_spectra(surf, species, chosen, grids, df_data, cfg, laguerre)
+    ref = _read_oracle_spectra(sandbox, PIKP, len(grids.pT), len(grids.phi), 1)
+    _compare(ours, ref)

@@ -264,7 +264,15 @@ def compute_spectra(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
     """
     cfg.validate()
     block = min(cell_block or cfg.cell_block, 1 << 30)
-    cells = prepare_cells(surf, cfg, block=block)
+    if cfg.df_mode == 5:
+        # famod reads the shear tensor and bulk pressure unconditionally
+        # (pl/pt reconstruction, MomentumSpectra.cpp:1192-1204); the
+        # include_* switches only gate the residual piT/WT pieces.
+        cells_cfg = dataclasses.replace(cfg, include_shear_deltaf=1,
+                                        include_bulk_deltaf=1)
+    else:
+        cells_cfg = cfg
+    cells = prepare_cells(surf, cells_cfg, block=block)
     n_blocks = max(cells.n_padded // min(block, cells.n_padded), 1)
 
     species = SpeciesArrays.from_table(species_table, chosen_idx)

@@ -1,0 +1,380 @@
+"""Anisotropic (VAH) variable reconstruction and famod coefficients.
+
+Replaces src/cpp/AnisoVariables.cpp: the 3D Newton solve
+F(Lambda, a_T, a_L) = (I_200 - E, I_201 - P_T, I_220 - P_L) = 0 with analytic
+Jacobian, Numerical-Recipes line backtracking, and the famod shear/diffusion
+coefficients beta_{pi,perp}, beta_{W,perp}.
+
+TPU-first design: the reference reconstructs cell-by-cell with a warm start
+from the previous cell (MomentumSpectra.cpp:1288-1368).  Here ALL cells are
+solved simultaneously from the equilibrium guess with convergence masks and
+all-lanes-done while_loops; the species/quadrature contraction inside each
+F/J evaluation vectorizes over (cells x species x quad points).  Because the
+reference stops at |dX| <= 1e-4 from a path-dependent warm start, its
+(Lambda, a_T, a_L) carry O(1e-4) solver error; we iterate from a fixed guess
+to the same tolerance, so results agree with the reference to the solver
+tolerance (not machine precision).
+
+The 16-point generalized Gauss-Laguerre families (AnisoVariables.h:17-121)
+are regenerated with scipy.special.roots_genlaguerre (identical values).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.special import roots_genlaguerre
+
+from ..constants import four_pi2_hbarC3
+
+N_MAX = 30              # max Newton iterations (AnisoVariables.h:5)
+PARTIAL_BACKTRACKS = 20
+TOL_DX = 1.0e-4
+TOL_F = 1.0e-4
+DELTA = 0.01            # Taylor window for the hypergeometric t-functions
+PBAR_PTS = 16
+
+_r2, _w2 = roots_genlaguerre(PBAR_PTS, 2)
+_r3, _w3 = roots_genlaguerre(PBAR_PTS, 3)
+ROOTS_A2 = jnp.asarray(_r2)
+WEIGHTS_A2 = jnp.asarray(_w2)
+ROOTS_A3 = jnp.asarray(_r3)
+WEIGHTS_A3 = jnp.asarray(_w3)
+
+
+def _t_functions_200(z):
+    """t_200, t_220, t_201 hypergeometric functions with the |z| <= 0.01
+    Taylor branch (AnisoVariables.cpp:64-95)."""
+    z_safe_pos = jnp.where(z > DELTA, z, 1.0)
+    sqrtz = jnp.sqrt(z_safe_pos)
+    t_pos = jnp.arctan(sqrtz) / sqrtz
+
+    z_safe_neg = jnp.where((z < -DELTA) & (z > -1.0), z, -0.5)
+    sqrtmz = jnp.sqrt(-z_safe_neg)
+    t_neg = jnp.arctanh(sqrtmz) / sqrtmz
+
+    t = jnp.where(z > DELTA, t_pos, t_neg)
+    zs = jnp.where(jnp.abs(z) <= DELTA, 1.0, z)  # avoid /0 in exact branches
+
+    t200_e = 1.0 + (1.0 + z) * t
+    t220_e = (-1.0 + (1.0 + z) * t) / zs
+    t201_e = (1.0 + (z - 1.0) * t) / zs
+
+    z2 = z * z
+    z3 = z2 * z
+    z4 = z3 * z
+    z5 = z4 * z
+    z6 = z5 * z
+    t200_t = (2. + 0.6666666666666667 * z - 0.1333333333333333 * z2
+              + 0.05714285714285716 * z3 - 0.031746031746031744 * z4
+              + 0.020202020202020193 * z5 - 0.013986013986013984 * z6)
+    t220_t = (0.6666666666666667 - 0.1333333333333333 * z
+              + 0.05714285714285716 * z2 - 0.031746031746031744 * z3
+              + 0.020202020202020193 * z4 - 0.013986013986013984 * z5
+              + 0.010256410256410262 * z6)
+    t201_t = (1.3333333333333333 - 0.5333333333333333 * z
+              + 0.34285714285714286 * z2 - 0.25396825396825395 * z3
+              + 0.20202020202020202 * z4 - 0.16783216783216784 * z5
+              + 0.14358974358974358 * z6)
+
+    taylor = jnp.abs(z) <= DELTA
+    t200 = jnp.where(taylor, t200_t, t200_e)
+    t220 = jnp.where(taylor, t220_t, t220_e)
+    t201 = jnp.where(taylor, t201_t, t201_e)
+    return t200, t220, t201
+
+
+def _t_functions_400(z):
+    """t_402, t_421, t_440 (AnisoVariables.cpp:201-245)."""
+    z_safe_pos = jnp.where(z > DELTA, z, 1.0)
+    sqrtz = jnp.sqrt(z_safe_pos)
+    t_pos = jnp.arctan(sqrtz) / sqrtz
+    z_safe_neg = jnp.where((z < -DELTA) & (z > -1.0), z, -0.5)
+    sqrtmz = jnp.sqrt(-z_safe_neg)
+    t_neg = jnp.arctanh(sqrtmz) / sqrtmz
+    t = jnp.where(z > DELTA, t_pos, t_neg)
+
+    z2 = z * z
+    zs2 = jnp.where(jnp.abs(z) <= DELTA, 1.0, z2)
+
+    t402_e = (3. * (z - 1.) + (z * (3. * z - 2.) + 3.) * t) / (4. * zs2)
+    t421_e = (3. + z + (1. + z) * (z - 3.) * t) / (4. * zs2)
+    t440_e = (-(3. + 5. * z) + 3. * (z + 1.) * (z + 1.) * t) / (4. * zs2)
+
+    z3 = z2 * z
+    z4 = z3 * z
+    z5 = z4 * z
+    z6 = z5 * z
+    t402_t = (1.0666666666666667 - 0.4571428571428572 * z
+              + 0.3047619047619048 * z2 - 0.23088023088023088 * z3
+              + 0.1864801864801865 * z4 - 0.15664335664335666 * z5
+              + 0.13514328808446457 * z6)
+    t421_t = (0.2666666666666666 - 0.0761904761904762 * z
+              + 0.0380952380952381 * z2 - 0.023088023088023088 * z3
+              + 0.015540015540015537 * z4 - 0.011188811188811189 * z5
+              + 0.00844645550527904 * z6)
+    t440_t = (0.4 - 0.057142857142857106 * z + 0.019047619047619063 * z2
+              - 0.008658008658008663 * z3 + 0.004662004662004657 * z4
+              - 0.002797202797202792 * z5 + 0.0018099547511312257 * z6)
+
+    taylor = jnp.abs(z) <= DELTA
+    return (jnp.where(taylor, t402_t, t402_e),
+            jnp.where(taylor, t421_t, t421_e),
+            jnp.where(taylor, t440_t, t440_e))
+
+
+def compute_F(X, Ea, PTa, PLa, mass, sign, degeneracy):
+    """F(X) = (I_200 - E, I_201 - P_T, I_220 - P_L), batched over cells.
+
+    X: (c, 3) = (lambda, aT, aL); mass/sign/degeneracy: (n,) species arrays
+    (photons are excluded by a mass > 0 mask).  AnisoVariables.cpp:15-131.
+    """
+    lam, aT, aL = X[:, 0], X[:, 1], X[:, 2]
+    aT2 = aT * aT
+    aL2 = aL * aL
+    common = aT2 * aL * lam**4 / four_pi2_hbarC3
+
+    mbar = mass[None, :] / lam[:, None]                           # (c,n)
+    mbar2 = mbar * mbar
+    p = ROOTS_A2[None, None, :]                                   # (1,1,q)
+    w_q = WEIGHTS_A2[None, None, :]
+
+    Ebar = jnp.sqrt(p * p + mbar2[:, :, None])
+    w = jnp.sqrt(aL2[:, None, None] + mbar2[:, :, None] / (p * p))
+    z = (aT2 - aL2)[:, None, None] / (w * w)
+    t200, t220, t201 = _t_functions_200(z)
+
+    cw = p * w_q * jnp.exp(p) / (jnp.exp(Ebar) + sign[None, :, None])
+    valid = (mass > 0.0)[None, :, None]
+    g = degeneracy[None, :, None] * valid
+
+    I200 = jnp.sum(g * cw * t200 * w, axis=(1, 2)) * common
+    I220 = jnp.sum(g * cw * t220 / w, axis=(1, 2)) * common * aL2
+    I201 = jnp.sum(g * cw * t201 / w, axis=(1, 2)) * common * aT2 / 2.0
+    return jnp.stack([I200 - Ea, I201 - PTa, I220 - PLa], axis=-1)
+
+
+def compute_J(X, F, Ea, PTa, PLa, mass, sign, degeneracy):
+    """Analytic Jacobian (AnisoVariables.cpp:134-299), batched."""
+    lam, aT, aL = X[:, 0], X[:, 1], X[:, 2]
+    aT2 = aT * aT
+    aL2 = aL * aL
+    lam2 = lam * lam
+    lam3 = lam2 * lam
+    lam_aT3 = lam * aT2 * aT
+    lam_aL3 = lam * aL2 * aL
+    common = aT2 * aL * lam2 * lam3 / four_pi2_hbarC3
+
+    mbar = mass[None, :] / lam[:, None]
+    mbar2 = mbar * mbar
+    p = ROOTS_A3[None, None, :]
+    w_q = WEIGHTS_A3[None, None, :]
+    p2 = p * p
+
+    Ebar = jnp.sqrt(p2 + mbar2[:, :, None])
+    w = jnp.sqrt(aL2[:, None, None] + mbar2[:, :, None] / p2)
+    z = (aT2 - aL2)[:, None, None] / (w * w)
+
+    t200, t220, t201 = _t_functions_200(z)
+    t402, t421, t440 = _t_functions_400(z)
+
+    qstat = jnp.exp(Ebar) + sign[None, :, None]
+    cw = w_q * jnp.exp(p + Ebar) / (qstat * qstat)
+    valid = (mass > 0.0)[None, :, None]
+    g = degeneracy[None, :, None] * valid
+
+    J2001 = jnp.sum(g * Ebar * cw * t200 * w, axis=(1, 2)) * common
+    J2011 = jnp.sum(g * Ebar * cw * t201 / w, axis=(1, 2)) * common * aT2 / 2.0
+    J2201 = jnp.sum(g * Ebar * cw * t220 / w, axis=(1, 2)) * common * aL2
+    J402m1 = jnp.sum(g * p2 / Ebar * cw * t402 / w, axis=(1, 2)) * common * aT2 * aT2 / 8.0
+    J421m1 = jnp.sum(g * p2 / Ebar * cw * t421 / w, axis=(1, 2)) * common * aT2 * aL2 / 2.0
+    J440m1 = jnp.sum(g * p2 / Ebar * cw * t440 / w, axis=(1, 2)) * common * aL2 * aL2
+
+    Eai = F[:, 0] + Ea
+    PTai = F[:, 1] + PTa
+    PLai = F[:, 2] + PLa
+
+    row0 = jnp.stack([J2001 / lam2, 2.0 * (Eai + PTai) / aT, (Eai + PLai) / aL], axis=-1)
+    row1 = jnp.stack([J2011 / lam2, 4.0 * J402m1 / lam_aT3, J421m1 / lam_aL3], axis=-1)
+    row2 = jnp.stack([J2201 / lam2, 2.0 * J421m1 / lam_aT3, J440m1 / lam_aL3], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def _line_backtrack(X, dX, dX_abs, g0, Fargs):
+    """Batched Numerical-Recipes line search (AnisoVariables.cpp:302-390).
+
+    Returns (l, F(X + l dX)).  All lanes iterate together; lanes that
+    returned keep their values frozen.
+    """
+    Ea, PTa, PLa, mass, sign, deg = Fargs
+    gprime0 = -2.0 * g0
+    alpha = 1.0e-4
+
+    F1 = compute_F(X + dX, Ea, PTa, PLa, mass, sign, deg)
+    f1 = 0.5 * jnp.sum(F1 * F1, axis=-1)
+
+    def should_return(l, f):
+        return (l * dX_abs <= TOL_DX) | (f <= g0 + l * alpha * gprime0)
+
+    def body(state):
+        n, l, f, lprev, fprev, Fcur, returned = state
+        ret_now = should_return(l, f)
+        returned_new = returned | ret_now
+
+        # quadratic model on first pass, cubic afterwards
+        lroot_quad = -gprime0 / (2.0 * (f - g0 - gprime0))
+        ll = jnp.where(l == 0.0, 1.0, l)
+        lp = jnp.where(lprev == 0.0, 1.0, lprev)
+        dl = jnp.where(jnp.abs(ll - lp) > 0.0, ll - lp, 1.0)
+        a = ((f - g0 - ll * gprime0) / (ll * ll)
+             - (fprev - g0 - lp * gprime0) / (lp * lp)) / dl
+        b = (-lp * (f - g0 - ll * gprime0) / (ll * ll)
+             + ll * (fprev - g0 - lp * gprime0) / (lp * lp)) / dl
+        zq = b * b - 3.0 * a * gprime0
+        a_safe = jnp.where(a == 0.0, 1.0, a)
+        lroot_cubic = jnp.where(
+            a == 0.0, -gprime0 / (2.0 * jnp.where(b == 0.0, 1.0, b)),
+            jnp.where(zq < 0.0, 0.5 * ll,
+                      jnp.where(b <= 0.0, (-b + jnp.sqrt(jnp.abs(zq))) / (3.0 * a_safe),
+                                -gprime0 / (b + jnp.sqrt(jnp.abs(zq))))))
+        lroot_cubic = jnp.minimum(lroot_cubic, 0.5 * ll)
+
+        lroot = jnp.where(n == 0, lroot_quad, lroot_cubic)
+        l_new = jnp.maximum(lroot, 0.5 * l)
+
+        Fn = compute_F(X + l_new[:, None] * dX, Ea, PTa, PLa, mass, sign, deg)
+        fn = 0.5 * jnp.sum(Fn * Fn, axis=-1)
+
+        l_out = jnp.where(returned_new, l, l_new)
+        f_out = jnp.where(returned_new, f, fn)
+        F_out = jnp.where(returned_new[:, None], Fcur, Fn)
+        lprev_out = jnp.where(returned_new, lprev, l)
+        fprev_out = jnp.where(returned_new, fprev, f)
+        return (n + 1, l_out, f_out, lprev_out, fprev_out, F_out, returned_new)
+
+    def cond(state):
+        n, _, _, _, _, _, returned = state
+        return (n < PARTIAL_BACKTRACKS) & (~jnp.all(returned))
+
+    n0 = jnp.asarray(0)
+    l0 = jnp.ones_like(g0)
+    returned0 = jnp.zeros_like(g0, dtype=bool)
+    state = (n0, l0, f1, jnp.zeros_like(g0), jnp.zeros_like(g0), F1, returned0)
+    _, l, _, _, _, F_out, _ = jax.lax.while_loop(cond, body, state)
+    return l, F_out
+
+
+@dataclasses.dataclass
+class AnisoSolution:
+    lam: jnp.ndarray
+    aT: jnp.ndarray
+    aL: jnp.ndarray
+    failed: jnp.ndarray  # bool (c,)
+
+
+def find_anisotropic_variables(E, pl, pt, lam0, aT0, aL0,
+                               mass, sign, degeneracy) -> AnisoSolution:
+    """Batched Newton solve (AnisoVariables.cpp:393-538).
+
+    E, pl, pt: (c,) kinetic energy density / longitudinal / transverse pressure
+    lam0, aT0, aL0: (c,) initial guesses.  Species arrays are the (<=320-entry)
+    PDG table used by the reference (MomentumSpectra.cpp:1295).
+    """
+    Ea, PTa, PLa = E, pt, pl
+    Fargs = (Ea, PTa, PLa, mass, sign, degeneracy)
+
+    X0 = jnp.stack([lam0, aT0, aL0], axis=-1)
+    bad_input = (Ea < 0) | (PTa < 0) | (PLa < 0)
+
+    F0 = compute_F(X0, *Fargs)
+    stepmax = 100.0 * jnp.maximum(jnp.sqrt(jnp.sum(X0 * X0, axis=-1)), 3.0)
+
+    def body(state):
+        n, X, F, done, converged = state
+        J = compute_J(X, F, *Fargs)
+        f = 0.5 * jnp.sum(F * F, axis=-1)
+        # guard singular J on done lanes
+        J_safe = jnp.where(done[:, None, None],
+                           jnp.eye(3)[None, :, :], J)
+        dX = jnp.linalg.solve(J_safe, -F[..., None]).squeeze(-1)
+        dX_abs = jnp.sqrt(jnp.sum(dX * dX, axis=-1))
+        rescale = jnp.where(dX_abs > stepmax, stepmax / dX_abs, 1.0)
+        dX = dX * rescale[:, None]
+        dX_abs = jnp.minimum(dX_abs, stepmax)
+
+        l, F_new = _line_backtrack(X, dX, dX_abs, f, Fargs)
+        X_new = X + l[:, None] * dX
+        F_abs = jnp.sqrt(jnp.sum(F_new * F_new, axis=-1))
+        dX_abs = dX_abs * l
+
+        went_negative = jnp.any(X_new < 0.0, axis=-1)
+        conv_now = (dX_abs <= TOL_DX) & (F_abs <= TOL_F)
+
+        X_out = jnp.where(done[:, None], X, X_new)
+        F_out = jnp.where(done[:, None], F, F_new)
+        converged_out = converged | (conv_now & ~done & ~went_negative)
+        done_out = done | went_negative | conv_now
+        return (n + 1, X_out, F_out, done_out, converged_out)
+
+    def cond(state):
+        n, _, _, done, _ = state
+        return (n < N_MAX) & (~jnp.all(done))
+
+    state0 = (jnp.asarray(0), X0, F0, bad_input,
+              jnp.zeros_like(bad_input))
+    _, X, _, done, converged = jax.lax.while_loop(cond, body, state0)
+
+    failed = ~converged
+    # failed cells keep the initial guess (the reference returns lambda_0 etc.)
+    lam = jnp.where(failed, lam0, X[:, 0])
+    aT = jnp.where(failed, aT0, X[:, 1])
+    aL = jnp.where(failed, aL0, X[:, 2])
+    return AnisoSolution(lam=lam, aT=aT, aL=aL, failed=failed)
+
+
+def compute_famod_coefficients(lam, aT, aL, mass, sign, degeneracy):
+    """beta_{pi,perp}, beta_{W,perp} (AnisoVariables.cpp:541-643), batched."""
+    aT2 = aT * aT
+    aL2 = aL * aL
+    lam2 = lam * lam
+    common = aT2 * aL * lam * lam2 * lam2 / four_pi2_hbarC3
+
+    mbar = mass[None, :] / lam[:, None]
+    mbar2 = mbar * mbar
+    p = ROOTS_A3[None, None, :]
+    w_q = WEIGHTS_A3[None, None, :]
+    p2 = p * p
+
+    Ebar = jnp.sqrt(p2 + mbar2[:, :, None])
+    w = jnp.sqrt(aL2[:, None, None] + mbar2[:, :, None] / p2)
+    z = (aT2 - aL2)[:, None, None] / (w * w)
+    t402, t421, _ = _t_functions_400(z)
+
+    qstat = jnp.exp(Ebar) + sign[None, :, None]
+    cw = w_q * jnp.exp(p + Ebar) / (qstat * qstat)
+    valid = (mass > 0.0)[None, :, None]
+    g = degeneracy[None, :, None] * valid
+
+    J402m1 = jnp.sum(g * p2 / Ebar * cw * t402 / w, axis=(1, 2)) * common * aT2 * aT2 / 8.0
+    J421m1 = jnp.sum(g * p2 / Ebar * cw * t421 / w, axis=(1, 2)) * common * aT2 * aL2 / 2.0
+
+    betapiperp = J402m1 / (aT2 * lam)
+    betaWperp = J421m1 / (aT * aL * lam)
+    return betapiperp, betaWperp
+
+
+def aniso_density_integral(lam, mass, sign, degeneracy, chem=0.0):
+    """I_100 anisotropic density integral over the a=1 Laguerre family
+    (ParticleSampler.cpp:1484-1494), batched over (cells, species)."""
+    r1, w1 = roots_genlaguerre(PBAR_PTS, 1)
+    p = jnp.asarray(r1)[None, None, :]
+    w_q = jnp.asarray(w1)[None, None, :]
+    mbar = mass[None, :] / lam[:, None]
+    Ebar = jnp.sqrt(p * p + mbar[:, :, None] ** 2)
+    I100 = jnp.sum(w_q * p * jnp.exp(p) / (jnp.exp(Ebar + chem) + sign[None, :, None]),
+                   axis=-1)
+    return I100

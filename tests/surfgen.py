@@ -63,6 +63,28 @@ def make_surface(n_cells: int, seed: int = 0, dimension: int = 2,
     return s
 
 
+def make_eos_consistent(s: SurfaceData, species_table, laguerre) -> SurfaceData:
+    """Overwrite (E, P) with the HRG equilibrium values at each cell's T so
+    that (E, pl, pt) triples are reconstructible by the VAH solver."""
+    import jax.numpy as jnp
+    from is3d2_tpu.constants import two_pi2_hbarC3
+    from is3d2_tpu.physics import thermal
+
+    mask = species_table.mass > 0
+    mbar = species_table.mass[mask][None, :] / s.T[:, None]   # (c, n)
+    g = species_table.gspin[mask][None, :]
+    sgn = species_table.sign[mask][None, :]
+    r2 = jnp.asarray(laguerre.roots[2])
+    w2 = jnp.asarray(laguerre.weights[2])
+    zero = np.zeros_like(mbar)
+    E_int = thermal.E_mod_integral(r2, w2, mbar, zero, sgn)
+    P_int = thermal.P_mod_integral(r2, w2, mbar, zero, sgn)
+    fact = s.T**4 / two_pi2_hbarC3
+    s.E = np.asarray(fact * np.asarray((g * E_int).sum(axis=1)))
+    s.P = np.asarray(fact * np.asarray((g * P_int).sum(axis=1)) / 3.0)
+    return s
+
+
 def write_mode1(s: SurfaceData, path: str | Path, include_baryon: bool = False,
                 vorticity: bool = False) -> None:
     """Write in mode-1/5 CPU-VH format (raw hbar=1 units, one row per cell)."""

@@ -1,0 +1,64 @@
+"""Golden test for famod (df 5, VAH) spectra vs the reference binary.
+
+Tolerance note: the reference reconstructs (Lambda, a_T, a_L) cell-by-cell
+with a warm start from the previous cell and stops at |dX| <= 1e-4
+(AnisoVariables.h:5-8, MomentumSpectra.cpp:1288-1368), so its anisotropic
+variables carry O(1e-4) path-dependent solver error.  Our batched solver
+iterates from a fixed equilibrium guess to the same tolerance; spectra can
+therefore differ at the ~1e-4..1e-3 relative level by solver slack alone.
+The comparison tolerance reflects that; the solver itself is unit-tested to
+reproduce the reference's converged roots in tests/test_aniso.py.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+from surfgen import make_surface, make_eos_consistent, write_mode1
+from oracle.run_oracle import setup_sandbox, run_oracle
+from test_spectra_golden import _read_oracle_spectra, PIKP
+
+from is3d2_tpu.config import Config
+from is3d2_tpu.io.pdg import read_pdg
+from is3d2_tpu.io.tables import GaussLaguerre, MomentumGrids
+from is3d2_tpu.io.deltaf_tables import DeltafTables
+from is3d2_tpu.physics.deltaf import DeltafData
+from is3d2_tpu.core.spectra import compute_spectra
+
+
+def test_spectra_famod_vs_oracle(reference_dir, tmp_path):
+    species_pre = read_pdg(3, reference_dir / "PDG")
+    laguerre_pre = GaussLaguerre.from_file(
+        reference_dir / "tables/gauss/gla_roots_weights.txt")
+    surf = make_surface(30, seed=23, shear_scale=0.03, bulk_scale=0.01)
+    surf = make_eos_consistent(surf, species_pre, laguerre_pre)
+    surf_file = tmp_path / "surface_gen.dat"
+    write_mode1(surf, surf_file)
+
+    sandbox = tmp_path / "sb_famod"
+    params = {"operation": 1, "df_mode": 5, "hrg_eos": 3,
+              "include_shear_deltaf": 1, "include_bulk_deltaf": 1}
+    setup_sandbox(sandbox, params, surf_file, chosen_mcids=PIKP)
+    run_oracle(sandbox)
+
+    species = read_pdg(3, reference_dir / "PDG")
+    grids = MomentumGrids.from_dir(reference_dir / "tables")
+    laguerre = GaussLaguerre.from_file(reference_dir / "tables/gauss/gla_roots_weights.txt")
+    tables = DeltafTables.load(3, include_baryon=False,
+                               base_dir=reference_dir / "deltaf_coefficients/vh")
+    cfg = Config(operation=1, df_mode=5, hrg_eos=3,
+                 include_shear_deltaf=1, include_bulk_deltaf=1, cell_block=32)
+    df_data = DeltafData(tables, 5, include_baryon=False)
+    chosen = species.chosen_indices(PIKP)
+
+    ours = compute_spectra(surf, species, chosen, grids, df_data, cfg, laguerre)
+    ref = _read_oracle_spectra(sandbox, PIKP, len(grids.pT), len(grids.phi), 1)
+
+    scale = np.abs(ref).max()
+    sig = np.abs(ref) > 1e-10 * scale
+    err = np.abs(ours - ref) / np.maximum(np.abs(ref), 1e-12 * scale)
+    assert err[sig].max() < 2e-3, f"max rel err {err[sig].max():.3e}"

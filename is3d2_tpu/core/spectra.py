@@ -62,8 +62,10 @@ class SpeciesArrays:
 @dataclasses.dataclass
 class MomentumGridDevice:
     pT: jnp.ndarray
+    pT_weight: jnp.ndarray
     cos_phi: jnp.ndarray
     sin_phi: jnp.ndarray
+    phi_weight: jnp.ndarray
     y: jnp.ndarray
     eta: jnp.ndarray
     eta_weight: jnp.ndarray
@@ -78,8 +80,11 @@ class MomentumGridDevice:
             y = jnp.asarray(g.y)
             eta = jnp.zeros(1)       # replaced by the cell eta inside the kernel
             eta_w = jnp.ones(1)
-        return cls(pT=jnp.asarray(g.pT), cos_phi=jnp.asarray(np.cos(g.phi)),
-                   sin_phi=jnp.asarray(np.sin(g.phi)), y=y, eta=eta, eta_weight=eta_w)
+        return cls(pT=jnp.asarray(g.pT), pT_weight=jnp.asarray(g.pT_weight),
+                   cos_phi=jnp.asarray(np.cos(g.phi)),
+                   sin_phi=jnp.asarray(np.sin(g.phi)),
+                   phi_weight=jnp.asarray(g.phi_weight),
+                   y=y, eta=eta, eta_weight=eta_w)
 
 
 def _momentum_tensors(cells_blk, grid: MomentumGridDevice, species: SpeciesArrays,
@@ -113,14 +118,15 @@ def _momentum_tensors(cells_blk, grid: MomentumGridDevice, species: SpeciesArray
     return pt, pn, px, py
 
 
-def _cell_block_df12(cells_blk: CellArrays, coeffs_blk, species: SpeciesArrays,
-                     grid: MomentumGridDevice, cfg: Config):
-    """Spectra contribution of one cell block, df modes 1/2
+def df12_weighted_value(cells_blk: CellArrays, coeffs_blk, species: SpeciesArrays,
+                        grid: MomentumGridDevice, cfg: Config):
+    """eta_weight * (p.dsigma) * f on axes (c,s,p,f,y,e) for df modes 1/2
     (the hot loop of MomentumSpectra.cpp:250-377).
 
     Everything is expressed on broadcast axes (c,s,p,f,y,e); XLA fuses the
-    elementwise chain into the (c,e) reduction so the full 6-d tensor is
-    never materialized in HBM.
+    elementwise chain into the caller's reduction so the full 6-d tensor is
+    never materialized in HBM.  Shared by the momentum spectra (reduce over
+    c,e) and the spacetime distributions (reduce over p,f,y,e).
     """
     c = cells_blk
     pt5, pn5, px2, py2 = _momentum_tensors(c, grid, species, cfg.dimension)
@@ -191,10 +197,17 @@ def _cell_block_df12(cells_blk: CellArrays, coeffs_blk, species: SpeciesArrays,
     if cfg.outflow:
         pdd = jnp.where(pdd > 0.0, pdd, 0.0)
 
-    w = grid.eta_weight[None, None, None, None, None, :] \
-        * c.mask[:, None, None, None, None, None]
-    # reduce over cells and eta -> (s,p,f,y)
-    contrib = jnp.sum(w * pdd * f, axis=(0, 5))
+    w_eta = grid.eta_weight[None, None, None, None, None, :]
+    return w_eta * pdd * f
+
+
+def _cell_block_df12(cells_blk: CellArrays, coeffs_blk, species: SpeciesArrays,
+                     grid: MomentumGridDevice, cfg: Config):
+    """Spectra contribution of one cell block: reduce the weighted integrand
+    over cells and eta -> (s,p,f,y)."""
+    value = df12_weighted_value(cells_blk, coeffs_blk, species, grid, cfg)
+    w_cell = cells_blk.mask[:, None, None, None, None, None]
+    contrib = jnp.sum(w_cell * value, axis=(0, 5))
     return PREFACTOR * species.degeneracy[:, None, None, None] * contrib
 
 

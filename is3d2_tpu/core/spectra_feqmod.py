@@ -49,8 +49,16 @@ def _solve_pmod(fq: FeqmodCellData, px_lrf, py_lrf, pz_lrf, n_refine: int = 2):
     return mx, my, mz
 
 
-def _cell_block_feqmod(c: CellArrays, fq: FeqmodCellData, species: SpeciesArrays,
-                       grid: MomentumGridDevice, cfg: Config):
+def feqmod_weighted_value(c: CellArrays, fq: FeqmodCellData, species: SpeciesArrays,
+                          grid: MomentumGridDevice, cfg: Config,
+                          dan_weighted: bool = False):
+    """Weighted integrand on axes (c,s,p,f,y,e) for df modes 3/4.
+
+    dan_weighted selects between the momentum-spectra convention
+    (p.dsigma = w*(pt.dat + px.dax + py.day) + pn.dan,
+    MomentumSpectra.cpp:883/936) and the spacetime-distribution convention
+    (w multiplies all four terms, SpacetimeDistribution.cpp:1022/1075).
+    """
     def C(a):
         return a[:, None, None, None, None, None]
 
@@ -90,8 +98,12 @@ def _cell_block_feqmod(c: CellArrays, fq: FeqmodCellData, species: SpeciesArrays
     pt_b = mT6 * cosh_b
     pn_b = mT6 / C(c.tau) * sinh_b
 
-    pdd_b = w_eta * (pt_b * C(c.dat) + px * C(c.dax) + py * C(c.day)) \
-        + pn_b * C(c.dan)
+    if dan_weighted:
+        pdd_b = w_eta * (pt_b * C(c.dat) + px * C(c.dax) + py * C(c.day)
+                         + pn_b * C(c.dan))
+    else:
+        pdd_b = w_eta * (pt_b * C(c.dat) + px * C(c.dax) + py * C(c.day)) \
+            + pn_b * C(c.dan)
     pdotu_b = pt_b * C(c.ut) - px * C(c.ux) - py * C(c.uy) - pn_b * C(tau2 * c.un)
 
     pimunu_pp = (C(c.pitt) * pt_b * pt_b + C(c.pixx) * px * px
@@ -131,8 +143,12 @@ def _cell_block_feqmod(c: CellArrays, fq: FeqmodCellData, species: SpeciesArrays
     pt_m = mT6 * cosh_m
     pn_m = mT6 / C(c.tau) * sinh_m
 
-    pdd_m = w_eta * (pt_m * C(c.dat) + px * C(c.dax) + py * C(c.day)) \
-        + pn_m * C(c.dan)
+    if dan_weighted:
+        pdd_m = w_eta * (pt_m * C(c.dat) + px * C(c.dax) + py * C(c.day)
+                         + pn_m * C(c.dan))
+    else:
+        pdd_m = w_eta * (pt_m * C(c.dat) + px * C(c.dax) + py * C(c.day)) \
+            + pn_m * C(c.dan)
 
     tau2_pn = C(tau2) * pn_m
     px_lrf = -C(fq.Xt) * pt_m + C(fq.Xx) * px + C(fq.Xy) * py + C(fq.Xn) * tau2_pn
@@ -161,8 +177,12 @@ def _cell_block_feqmod(c: CellArrays, fq: FeqmodCellData, species: SpeciesArrays
     # renorm nan/inf would make the reference skip the species entirely
     # (MomentumSpectra.cpp:828-832), so zero both branches there
     finite = jnp.isfinite(fq.renorm)[:, :, None, None, None, None]
-    value = jnp.where(use_break, value_break, value_mod) * finite
+    return jnp.where(use_break, value_break, value_mod) * finite
 
+
+def _cell_block_feqmod(c: CellArrays, fq: FeqmodCellData, species: SpeciesArrays,
+                       grid: MomentumGridDevice, cfg: Config):
+    value = feqmod_weighted_value(c, fq, species, grid, cfg)
     w_cell = c.mask[:, None, None, None, None, None]
     contrib = jnp.sum(w_cell * value, axis=(0, 5))
     return PREFACTOR * species.degeneracy[:, None, None, None] * contrib

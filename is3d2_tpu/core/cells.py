@@ -31,7 +31,8 @@ class CellArrays:
     u.dsigma <= 0 cells, MomentumSpectra.cpp:132) and 0.0 for padding.
     """
 
-    mask: jnp.ndarray
+    mask: jnp.ndarray      # 1 for real cells with u.dsigma > 0
+    pad_mask: jnp.ndarray  # 1 for all real cells (polarization keeps u.dsigma <= 0)
     tau: jnp.ndarray
     x: jnp.ndarray
     y_pos: jnp.ndarray
@@ -108,6 +109,8 @@ def prepare_cells(surf: SurfaceData, cfg: Config,
     udsigma = ut * dat + ux * dax + uy * day + un * dan
     mask = (udsigma > 0.0).astype(np.float64)
     mask[n:] = 0.0
+    pad_mask = np.ones(n_padded)
+    pad_mask[n:] = 0.0
 
     # pad T with a safe temperature to keep exp() finite on padding cells
     T = _pad(surf.T, pad, 0.15)
@@ -153,7 +156,7 @@ def prepare_cells(surf: SurfaceData, cfg: Config,
 
     j = jnp.asarray
     return CellArrays(
-        mask=j(mask), tau=j(tau), x=j(_pad(surf.x, pad)), y_pos=j(_pad(surf.y, pad)),
+        mask=j(mask), pad_mask=j(pad_mask), tau=j(tau), x=j(_pad(surf.x, pad)), y_pos=j(_pad(surf.y, pad)),
         eta=j(_pad(surf.eta, pad)), dat=j(dat), dax=j(dax), day=j(day), dan=j(dan),
         ux=j(ux), uy=j(uy), un=j(un), ut=j(ut), T=j(T), P=j(P), E=j(E),
         pitt=j(pitt), pitx=j(pitx), pity=j(pity), pitn=j(pitn),

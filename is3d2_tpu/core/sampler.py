@@ -1,0 +1,633 @@
+"""Monte-Carlo particle sampler (operation 2), df modes 1-4.
+
+TPU-native replacement for the reference's serial sampler
+(ParticleSampler.cpp:25-1134).  The reference nests
+cell -> event -> Poisson hadrons -> per-hadron rejection loops; throughput
+comes from forking whole processes (scripts/run_multithread_sampling_iS3D.py).
+Here everything is one vectorized jax.random program:
+
+  1. Per-(cell, species) mean yields dn[c,s] (fast mode: cached densities at
+     the surface-averaged (T, muB); exact mode: thermal integrals per cell).
+  2. Hadron counts: a single Poisson draw per (cell, species) with rate
+     Nevents * 2 y_max * ds_max * dn -- statistically identical to the
+     reference's event-by-event Poisson(dn_tot) + categorical species pick
+     (Poisson thinning), with events assigned uniformly per hadron.
+  3. A flat fixed-capacity hadron axis: bucket lookup by searchsorted over the
+     count cumsum, then gathers of all per-cell/per-species quantities.
+  4. Momentum sampling: the reference's Scott-Pratt light/heavy rejection
+     draws (ParticleSampler.cpp:243-405) as an all-lanes while_loop.
+  5. Viscous + flux weights, keep/reject, LRF -> lab boost, 2+1d rapidity
+     draw (ParticleSampler.cpp:947-1104).
+
+Outputs either binned sampler-test histograms (BinSampledParticle.cpp) or a
+padded particle list with a validity mask.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..constants import two_pi, two_pi2_hbarC3
+from ..io.pdg import SpeciesTable
+from ..io.tables import GaussLaguerre
+from ..physics import lrf, thermal
+from ..physics.deltaf import DeltafData
+from .cells import CellArrays, prepare_cells
+from .feqmod import prepare_feqmod, FeqmodCellData
+from .spectra import SpeciesArrays
+
+
+# ----------------------------------------------------------------------
+# mean particle numbers
+# ----------------------------------------------------------------------
+
+def pion_thermal_weight_max(x):
+    """Rational fit of the max pion thermal weight (ParticleSampler.cpp:41-70)."""
+    x2 = x * x
+    x3 = x2 * x
+    x4 = x3 * x
+    num = (143206.88623164667 - 95956.76008684626 * x - 21341.937407169076 * x2
+           + 14388.446116867359 * x3 - 6083.775788504437 * x4)
+    den = (-0.3541350577684533 + 143218.69233952634 * x - 24516.803600065778 * x2
+           - 115811.59391199696 * x3 + 35814.36403387459 * x4)
+    return 1.00001 * num / den
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SamplerSetup:
+    """Everything the hadron pipeline gathers per cell / per species."""
+
+    cells: CellArrays
+    fq: FeqmodCellData | None       # feqmod data (df 3/4)
+    rates: jnp.ndarray              # (c, S) mean counts per unit volume
+    # LRF surface element
+    dst: jnp.ndarray
+    dsx: jnp.ndarray
+    dsy: jnp.ndarray
+    dsz: jnp.ndarray
+    ds_max: jnp.ndarray
+    # LRF shear / diffusion
+    pixx: jnp.ndarray
+    pixy: jnp.ndarray
+    pixz: jnp.ndarray
+    piyy: jnp.ndarray
+    piyz: jnp.ndarray
+    pizz: jnp.ndarray
+    Vx: jnp.ndarray
+    Vy: jnp.ndarray
+    Vz: jnp.ndarray
+    # df columns for w_visc
+    df_cols: dict
+    # feqmod transforms
+    shear_mod: jnp.ndarray
+    isotropic_scale: jnp.ndarray
+    diff_mod: jnp.ndarray
+    T_mod: jnp.ndarray
+    alphaB_mod: jnp.ndarray
+    breaks_down: jnp.ndarray
+
+
+def _fast_rates(cells, species_table, chosen_idx, fq, cfg):
+    """dn[c,s] in fast mode (fast_max_particle_number,
+    ParticleSampler.cpp:122-161)."""
+    neq = jnp.asarray(species_table.equilibrium_density[chosen_idx])[None, :]
+    dnb = jnp.asarray(species_table.bulk_density[chosen_idx])[None, :]
+    if cfg.df_mode in (1, 2):
+        return jnp.broadcast_to(2.0 * neq, (cells.n_padded, neq.shape[1]))
+    bulkPi = (fq.bulkPi if fq is not None else cells.bulkPi)[:, None]
+    breaks = fq.breaks_down[:, None]
+    if cfg.df_mode == 3:
+        return jnp.where(breaks, 2.0 * neq, neq + bulkPi * dnb)
+    if cfg.df_mode == 4:
+        return jnp.where(breaks, 2.0 * neq, fq.z[:, None] * neq)
+    raise ValueError("fast rates support df_mode 1-4")
+
+
+def _exact_rates(cells, species: SpeciesArrays, fq, df, cfg, laguerre):
+    """dn[c,s] in exact mode (max_particle_number, ParticleSampler.cpp:164-239)."""
+    r1, w1 = jnp.asarray(laguerre.roots[1]), jnp.asarray(laguerre.weights[1])
+    r2, w2 = jnp.asarray(laguerre.roots[2]), jnp.asarray(laguerre.weights[2])
+    T = cells.T[:, None]
+    mbar = species.mass[None, :] / T
+    aB = cells.alphaB[:, None]
+    b = species.baryon[None, :]
+    sgn = species.sign[None, :]
+    g = species.degeneracy[None, :]
+    neq_fact = T**3 / two_pi2_hbarC3
+    neq = neq_fact * g * thermal.neq_integral(r1, w1, mbar, aB, b, sgn)
+
+    if cfg.df_mode in (1, 2):
+        return 2.0 * neq
+
+    breaks = fq.breaks_down[:, None]
+    if cfg.df_mode == 3:
+        J20_fact = T * neq_fact
+        J10 = jnp.zeros_like(neq)
+        if cfg.include_baryon:
+            J10 = neq_fact * g * thermal.J10_integral(r1, w1, mbar, aB, b, sgn)
+        J20 = J20_fact * g * thermal.J20_integral(r2, w2, mbar, aB, b, sgn)
+        bulk_density = (neq + b * J10 * df.G[:, None]
+                        + J20 * df.F[:, None] / T / T) / df.betabulk[:, None]
+        return jnp.where(breaks, 2.0 * neq, neq + fq.bulkPi[:, None] * bulk_density)
+    if cfg.df_mode == 4:
+        neq0 = neq_fact * g * thermal.neq_integral(r1, w1, mbar,
+                                                   jnp.zeros_like(aB),
+                                                   jnp.zeros_like(b), sgn)
+        return jnp.where(breaks, 2.0 * neq, fq.z[:, None] * neq0)
+    raise ValueError("exact rates support df_mode 1-4")
+
+
+def prepare_sampler(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
+                    df_data: DeltafData, cfg: Config, laguerre: GaussLaguerre,
+                    block: int | None = None) -> tuple[SamplerSetup, SpeciesArrays]:
+    cells = prepare_cells(surf, cfg, block=block or cfg.cell_block)
+    species = SpeciesArrays.from_table(species_table, chosen_idx)
+    c = cells
+
+    basis = lrf.milne_basis(c.tau, c.ux, c.uy, c.un)
+    ds = lrf.boost_dsigma(basis, c.tau, c.ux, c.uy, c.un,
+                          c.dat, c.dax, c.day, c.dan)
+    pi = lrf.boost_shear(basis, c.tau, c.pitt, c.pitx, c.pity, c.pitn,
+                         c.pixx, c.pixy, c.pixn, c.piyy, c.piyn, c.pinn)
+    Vx_l, Vy_l, Vz_l = lrf.boost_diffusion(basis, c.tau, c.Vt, c.Vx, c.Vy, c.Vn)
+
+    fq = None
+    if cfg.df_mode in (3, 4):
+        fq = prepare_feqmod(cells, species, df_data, cfg, laguerre)
+        bulkPi = fq.bulkPi
+    else:
+        bulkPi = c.bulkPi
+
+    df = df_data.evaluate(c.T, c.muB, c.E, c.P, bulkPi)
+
+    # df coefficient columns for w_visc (ParticleSampler.cpp:780-809)
+    df_cols = {
+        "c0_minus_c2": df.c0 - df.c2,
+        "c1": df.c1,
+        "fourc2_minus_c0": 4.0 * df.c2 - df.c0,
+        "c3": df.c3,
+        "c4": df.c4,
+        "shear14": df.shear14,
+        "two_betapi_T": 2.0 * df.betapi * c.T,
+        "three_T": 3.0 * c.T,
+        "F_over_T2": df.F / (c.T * c.T),
+        "G": df.G,
+        "betaV": df.betaV,
+        "bulkPi_over_betabulk": bulkPi / jnp.where(df.betabulk != 0, df.betabulk, 1.0),
+        "bulkPi": bulkPi,
+        "delta_z_m3dl": df.delta_z - 3.0 * df.delta_lambda,
+        "dl_over_T": df.delta_lambda / c.T,
+    }
+
+    if cfg.df_mode == 3:
+        T_mod = fq.T_mod
+        alphaB_mod = fq.alphaB_mod
+        shear_mod = 0.5 / df.betapi
+        bulk_mod = bulkPi / (3.0 * df.betabulk)
+        diff_mod = c.T / df.betaV
+    elif cfg.df_mode == 4:
+        T_mod = c.T
+        alphaB_mod = jnp.zeros_like(c.T)
+        shear_mod = 0.5 / df.betapi
+        bulk_mod = df.lam
+        diff_mod = jnp.zeros_like(c.T)
+    else:
+        T_mod = c.T
+        alphaB_mod = c.alphaB
+        shear_mod = jnp.zeros_like(c.T)
+        bulk_mod = jnp.zeros_like(c.T)
+        diff_mod = jnp.zeros_like(c.T)
+
+    if cfg.fast:
+        rates = _fast_rates(cells, species_table, chosen_idx, fq, cfg)
+    else:
+        rates = _exact_rates(cells, species, fq, df, cfg, laguerre)
+
+    rates = jnp.maximum(rates, 0.0) * cells.mask[:, None]
+
+    setup = SamplerSetup(
+        cells=cells, fq=fq, rates=rates,
+        dst=ds.t, dsx=ds.x, dsy=ds.y, dsz=ds.z, ds_max=ds.magnitude,
+        pixx=pi.xx, pixy=pi.xy, pixz=pi.xz, piyy=pi.yy, piyz=pi.yz, pizz=pi.zz,
+        Vx=Vx_l, Vy=Vy_l, Vz=Vz_l, df_cols=df_cols,
+        shear_mod=shear_mod, isotropic_scale=1.0 + bulk_mod, diff_mod=diff_mod,
+        T_mod=T_mod, alphaB_mod=alphaB_mod,
+        breaks_down=(fq.breaks_down if fq is not None
+                     else jnp.zeros(cells.n_padded, dtype=bool)),
+    )
+    return setup, species
+
+
+# ----------------------------------------------------------------------
+# total yield & event count
+# ----------------------------------------------------------------------
+
+def compute_total_yield(surf, species_table: SpeciesTable, chosen_idx,
+                        df_data: DeltafData, cfg: Config,
+                        laguerre: GaussLaguerre) -> float:
+    """Mean total yield (calculate_total_yield, ParticleSampler.cpp:447-636).
+
+    Uses the cached per-species densities at the surface-averaged (T, muB),
+    i.e. the reference's estimate_mean_particle_number."""
+    cells = prepare_cells(surf, cfg, block=cfg.cell_block)
+    c = cells
+    basis = lrf.milne_basis(c.tau, c.ux, c.uy, c.un)
+    ds = lrf.boost_dsigma(basis, c.tau, c.ux, c.uy, c.un,
+                          c.dat, c.dax, c.day, c.dan)
+    Vdsigma = c.Vt * c.dat + c.Vx * c.dax + c.Vy * c.day + c.Vn * c.dan
+
+    neq = jnp.asarray(species_table.equilibrium_density[chosen_idx])
+    dnb = jnp.asarray(species_table.bulk_density[chosen_idx])
+    dnd = jnp.asarray(species_table.diff_density[chosen_idx])
+
+    if cfg.df_mode in (1, 2, 3, 5):
+        bulkPi = c.bulkPi
+        per_cell = (ds.t[:, None] * (neq[None, :] + bulkPi[:, None] * dnb[None, :])
+                    - ds.space[:, None] * Vdsigma[:, None] * dnd[None, :])
+    else:  # PTB (ParticleSampler.cpp:91-104)
+        species = SpeciesArrays.from_table(species_table, chosen_idx)
+        fq = prepare_feqmod(cells, species, df_data, cfg, laguerre)
+        z_eff = jnp.where(fq.breaks_down, 1.0 + fq.delta_z, fq.z)
+        per_cell = ds.t[:, None] * z_eff[:, None] * neq[None, :]
+
+    total = jnp.sum(per_cell * c.mask[:, None])
+    if cfg.dimension == 2:
+        total = total * 2.0 * cfg.y_cut
+    return float(total)
+
+
+def number_of_events(Ntot: float, cfg: Config) -> int:
+    if not cfg.oversample:
+        return 1
+    return int(min(np.ceil(cfg.min_num_hadrons / max(Ntot, 1e-300)),
+                   cfg.max_num_samples))
+
+
+# ----------------------------------------------------------------------
+# the hadron pipeline
+# ----------------------------------------------------------------------
+
+@dataclasses.dataclass
+class ParticleList:
+    """Padded sampled-particle arrays; entries with valid=False are padding."""
+
+    valid: np.ndarray
+    event: np.ndarray
+    mcid: np.ndarray
+    tau: np.ndarray
+    x: np.ndarray
+    y: np.ndarray
+    eta: np.ndarray
+    t: np.ndarray
+    z: np.ndarray
+    E: np.ndarray
+    px: np.ndarray
+    py: np.ndarray
+    pz: np.ndarray
+    mass: np.ndarray
+
+    @property
+    def n_valid(self) -> int:
+        return int(self.valid.sum())
+
+
+def _sample_momentum(key, mass, sign, T, chem, max_rounds: int = 200):
+    """Vectorized rejection sampling of the LRF momentum
+    (sample_momentum, ParticleSampler.cpp:243-405).
+
+    All hadron lanes iterate together until every lane accepted.
+    Returns (E, px, py, pz, feq) in GeV.
+    """
+    mbar = mass / T
+    mbar2 = mbar * mbar
+    n = mass.shape[0]
+
+    light = mbar < 1.008
+    use_pion_rescale = (mbar < 0.8554) & (sign == -1.0)
+    weq_max = jnp.where(use_pion_rescale, pion_thermal_weight_max(mbar), 1.0)
+
+    def body(state):
+        rnd, key, accepted, pbar, Ebar, phi2pi, costh, feq = state
+        key, k1 = jax.random.split(key)
+        u = jax.random.uniform(k1, (9, n))
+        r1, r2, r3 = 1.0 - u[0], 1.0 - u[1], 1.0 - u[2]
+        l1, l2, l3 = jnp.log(r1), jnp.log(r2), jnp.log(r3)
+
+        # ---- light branch (p^2 exp(-p) proposal) ----
+        pbar_l = -(l1 + l2 + l3)
+        Ebar_l = jnp.sqrt(pbar_l * pbar_l + mbar2)
+        feq_l = 1.0 / (jnp.exp(Ebar_l) + sign)
+        w_l = feq_l / weq_max / (r1 * r2 * r3)
+        phi_l = (l1 + l2) ** 2 / (pbar_l * pbar_l)
+        cos_l = (l1 - l2) / (l1 + l2)
+
+        # ---- heavy branch (k = E - m decomposition) ----
+        # choose distribution ~ (mbar^2, 2 mbar, 2)
+        wsum = mbar2 + 2.0 * mbar + 2.0
+        usel = u[3] * wsum
+        case = jnp.where(usel < mbar2, 0, jnp.where(usel < mbar2 + 2.0 * mbar, 1, 2))
+        kbar0 = -l1
+        kbar1 = -(l1 + l2)
+        kbar2 = -(l1 + l2 + l3)
+        kbar = jnp.choose(case, [kbar0, kbar1, kbar2], mode="clip")
+        phi0 = u[4]
+        phi1 = -l1 / jnp.where(kbar1 != 0.0, kbar1, 1.0)
+        phi2 = (l1 + l2) ** 2 / jnp.where(kbar2 != 0.0, kbar2 * kbar2, 1.0)
+        phi_h = jnp.choose(case, [phi0, phi1, phi2], mode="clip")
+        cos_uni = 2.0 * u[5] - 1.0
+        cos2 = (l1 - l2) / (l1 + l2)
+        cos_h = jnp.where(case == 2, cos2, cos_uni)
+
+        Ebar_h = kbar + mbar
+        pbar_h = jnp.sqrt(jnp.maximum(Ebar_h * Ebar_h - mbar2, 0.0))
+        boltz = jnp.exp(Ebar_h - chem)
+        feq_h = 1.0 / (boltz + sign)
+        w_h = pbar_h / jnp.where(Ebar_h != 0.0, Ebar_h, 1.0) * boltz * feq_h
+
+        w = jnp.where(light, w_l, w_h)
+        pbar_new = jnp.where(light, pbar_l, pbar_h)
+        Ebar_new = jnp.where(light, Ebar_l, Ebar_h)
+        phi_new = jnp.where(light, phi_l, phi_h)
+        cos_new = jnp.where(light, cos_l, cos_h)
+        feq_new = jnp.where(light, feq_l, feq_h)
+
+        acc_now = (u[6] < w) & ~accepted
+        pbar = jnp.where(acc_now, pbar_new, pbar)
+        Ebar = jnp.where(acc_now, Ebar_new, Ebar)
+        phi2pi = jnp.where(acc_now, phi_new, phi2pi)
+        costh = jnp.where(acc_now, cos_new, costh)
+        feq = jnp.where(acc_now, feq_new, feq)
+        return (rnd + 1, key, accepted | acc_now, pbar, Ebar, phi2pi, costh, feq)
+
+    def cond(state):
+        rnd = state[0]
+        accepted = state[2]
+        return (rnd < max_rounds) & ~jnp.all(accepted)
+
+    zeros = jnp.zeros(n)
+    state = (jnp.asarray(0), key, jnp.zeros(n, dtype=bool),
+             zeros, jnp.ones(n), zeros, zeros, zeros)
+    _, _, accepted, pbar, Ebar, phi2pi, costh, feq = \
+        jax.lax.while_loop(cond, body, state)
+
+    p = pbar * T
+    phi = phi2pi * two_pi
+    sinth = jnp.sqrt(jnp.maximum(1.0 - costh * costh, 0.0))
+    E = Ebar * T
+    px = p * sinth * jnp.cos(phi)
+    py = p * sinth * jnp.sin(phi)
+    pz = p * costh
+    return E, px, py, pz, feq, accepted
+
+
+def _gather(a, idx):
+    return jnp.take(a, idx, axis=0)
+
+
+@partial(jax.jit, static_argnames=("cfg", "capacity", "n_events"))
+def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
+                        mcid: jnp.ndarray, key, cfg: Config,
+                        capacity: int, n_events: int):
+    """The full flat-hadron pipeline; returns raw per-hadron arrays."""
+    c = setup.cells
+    y_max = cfg.y_cut if cfg.dimension == 2 else 0.5
+    volume = 2.0 * y_max * setup.ds_max
+
+    key, k_poisson, k_event, k_mom, k_keep, k_rap = jax.random.split(key, 6)
+
+    rates = setup.rates * volume[:, None] * n_events      # (cfill, S)
+    counts = jax.random.poisson(k_poisson, rates)
+    flat_counts = counts.reshape(-1)
+    cum = jnp.cumsum(flat_counts)
+    total = cum[-1]
+
+    S_count = species.mass.shape[0]
+    h = jnp.arange(capacity)
+    valid = h < total
+    bucket = jnp.searchsorted(cum, h, side="right")
+    bucket = jnp.minimum(bucket, flat_counts.shape[0] - 1)
+    cell_idx = bucket // S_count
+    sp_idx = bucket % S_count
+
+    # per-hadron species properties
+    mass = _gather(species.mass, sp_idx)
+    sign = _gather(species.sign, sp_idx)
+    baryon = _gather(species.baryon, sp_idx)
+    mcid_h = _gather(mcid, sp_idx)
+    mass2 = mass * mass
+
+    # per-hadron cell properties
+    def g(a):
+        return _gather(a, cell_idx)
+
+    T = g(c.T)
+    alphaB = g(c.alphaB)
+    ratio = g(c.baryon_enthalpy_ratio)
+    breaks = g(setup.breaks_down)
+    chem = baryon * alphaB
+    chem_mod = baryon * g(setup.alphaB_mod)
+
+    # sampling temperature & chemical potential per df mode
+    if cfg.df_mode == 1 or cfg.df_mode == 2:
+        T_s, chem_s = T, chem
+    elif cfg.df_mode == 3:
+        # breakdown cells fall back to CE sampling at (T, chem)
+        T_s = jnp.where(breaks, T, g(setup.T_mod))
+        chem_s = jnp.where(breaks, chem, chem_mod)
+    elif cfg.df_mode == 4:
+        # PTB samples at (T, 0) always (ParticleSampler.cpp:1018)
+        T_s, chem_s = T, jnp.zeros_like(chem)
+    else:  # famod samples at (lambda, b * upsilonB) (ParticleSampler.cpp:1537)
+        T_s = g(setup.T_mod)
+        chem_s = baryon * g(setup.alphaB_mod)
+
+    E0, px0, py0, pz0, feq, mom_ok = _sample_momentum(k_mom, mass, sign, T_s, chem_s)
+
+    pixx, pixy, pixz = g(setup.pixx), g(setup.pixy), g(setup.pixz)
+    piyy, piyz, pizz = g(setup.piyy), g(setup.piyz), g(setup.pizz)
+    Vx, Vy, Vz = g(setup.Vx), g(setup.Vy), g(setup.Vz)
+
+    # feqmod momentum rescale (rescale_momentum, ParticleSampler.cpp:407-426)
+    if cfg.df_mode == 5:
+        # p = B . p' (rescale_momentum_famod, ParticleSampler.cpp:428-444);
+        # B is the identity on breakdown cells
+        def gd5(name):
+            return _gather(setup.df_cols[name], cell_idx)
+
+        Bxx, Bxy, Bxz = gd5("Bxx"), gd5("Bxy"), gd5("Bxz")
+        Byy, Byz, Bzz = gd5("Byy"), gd5("Byz"), gd5("Bzz")
+        px = Bxx * px0 + Bxy * py0 + Bxz * pz0
+        py = Bxy * px0 + Byy * py0 + Byz * pz0
+        pz = Bxz * px0 + Byz * py0 + Bzz * pz0
+        E = jnp.sqrt(mass2 + px * px + py * py + pz * pz)
+    elif cfg.df_mode in (3, 4):
+        shear_mod = g(setup.shear_mod)
+        iso = g(setup.isotropic_scale)
+        if cfg.df_mode == 3:
+            dmod = g(setup.diff_mod) * (E0 * ratio + baryon)
+        else:
+            dmod = jnp.zeros_like(E0)
+        rx = iso * px0 + shear_mod * (pixx * px0 + pixy * py0 + pixz * pz0) + dmod * Vx
+        ry = iso * py0 + shear_mod * (pixy * px0 + piyy * py0 + piyz * pz0) + dmod * Vy
+        rz = iso * pz0 + shear_mod * (pixz * px0 + piyz * py0 + pizz * pz0) + dmod * Vz
+        rE = jnp.sqrt(mass2 + rx * rx + ry * ry + rz * rz)
+        use_mod = ~breaks
+        px = jnp.where(use_mod, rx, px0)
+        py = jnp.where(use_mod, ry, py0)
+        pz = jnp.where(use_mod, rz, pz0)
+        E = jnp.where(use_mod, rE, E0)
+    else:
+        px, py, pz, E = px0, py0, pz0, E0
+
+    # viscous weight (ParticleSampler.cpp:947-1047)
+    feqbar = 1.0 - sign * feq
+    pimunu_pp = (px0 * px0 * pixx + py0 * py0 * piyy + pz0 * pz0 * pizz
+                 + 2.0 * (px0 * py0 * pixy + px0 * pz0 * pixz + py0 * pz0 * piyz))
+    Vmu_pmu = -(px0 * Vx + py0 * Vy + pz0 * Vz)
+    d = setup.df_cols
+
+    def gd(name):
+        return _gather(d[name], cell_idx)
+
+    if cfg.df_mode == 1:
+        df_shear = pimunu_pp / gd("shear14")
+        df_bulk = (gd("c0_minus_c2") * mass2
+                   + (baryon * gd("c1") + gd("fourc2_minus_c0") * E0) * E0) * gd("bulkPi")
+        df_diff = (baryon * gd("c3") + gd("c4") * E0) * Vmu_pmu
+        df_tot = feqbar * (df_shear + df_bulk + df_diff)
+        w_visc = (1.0 + jnp.clip(df_tot, -1.0, 1.0)) / 2.0
+    elif cfg.df_mode == 2:
+        df_shear = pimunu_pp / (gd("two_betapi_T") * E0)
+        df_bulk = (baryon * gd("G") + gd("F_over_T2") * E0
+                   + (E0 - mass2 / E0) / gd("three_T")) * gd("bulkPi_over_betabulk")
+        df_diff = (ratio - baryon / E0) * Vmu_pmu / gd("betaV")
+        df_tot = feqbar * (df_shear + df_bulk + df_diff)
+        w_visc = (1.0 + jnp.clip(df_tot, -1.0, 1.0)) / 2.0
+    elif cfg.df_mode == 3:
+        # CE fallback weight on breakdown cells, else 1
+        df_shear = pimunu_pp / (gd("two_betapi_T") * E0)
+        df_bulk = (baryon * gd("G") + gd("F_over_T2") * E0
+                   + (E0 - mass2 / E0) / gd("three_T")) * gd("bulkPi_over_betabulk")
+        df_diff = (ratio - baryon / E0) * Vmu_pmu / gd("betaV")
+        df_tot = feqbar * (df_shear + df_bulk + df_diff)
+        w_ce = (1.0 + jnp.clip(df_tot, -1.0, 1.0)) / 2.0
+        w_visc = jnp.where(breaks, w_ce, 1.0)
+    elif cfg.df_mode == 4:
+        df_shear = feqbar * pimunu_pp / (gd("two_betapi_T") * E0)
+        df_bulk = gd("delta_z_m3dl") + feqbar * gd("dl_over_T") * (E0 - mass2 / E0)
+        w_j = (1.0 + jnp.clip(df_shear + df_bulk, -1.0, 1.0)) / 2.0
+        w_visc = jnp.where(breaks, w_j, 1.0)
+    else:  # famod: flux weight only (ParticleSampler.cpp:1546-1551)
+        w_visc = jnp.ones_like(E0)
+
+    dst, dsx, dsy, dsz = g(setup.dst), g(setup.dsx), g(setup.dsy), g(setup.dsz)
+    ds_max = g(setup.ds_max)
+    w_flux = jnp.maximum(0.0, E * dst - px * dsx - py * dsy - pz * dsz) / (E * ds_max)
+
+    u_keep = jax.random.uniform(k_keep, (capacity,))
+    keep = valid & mom_ok & (u_keep < w_flux * w_visc)
+
+    # boost LRF -> lab Milne (Momentum.cpp:14-31)
+    basis_fields = (c.tau, c.ux, c.uy, c.un)
+    tau_h, ux_h, uy_h, un_h = (g(a) for a in basis_fields)
+    basis_h = lrf.milne_basis(tau_h, ux_h, uy_h, un_h)
+    ptau, plab_x, plab_y, pn = lrf.boost_momentum_to_lab(
+        basis_h, tau_h, ux_h, uy_h, un_h, E, px, py, pz)
+
+    eta_cell = g(c.eta)
+    if cfg.dimension == 2:
+        rap = y_max * (2.0 * jax.random.uniform(k_rap, (capacity,)) - 1.0)
+        sinhy = jnp.sinh(rap)
+        coshy = jnp.sqrt(1.0 + sinhy * sinhy)
+        tau_pn = tau_h * pn
+        mT = jnp.sqrt(jnp.maximum(ptau * ptau - tau_pn * tau_pn, 1e-300))
+        sinheta = (ptau * sinhy - tau_pn * coshy) / mT
+        eta_p = jnp.arcsinh(sinheta)
+        pz_lab = mT * sinhy
+        E_lab = mT * coshy
+    else:
+        sinheta = jnp.sinh(eta_cell)
+        cosheta = jnp.sqrt(1.0 + sinheta * sinheta)
+        pz_lab = tau_h * pn * cosheta + ptau * sinheta
+        E_lab = jnp.sqrt(mass2 + plab_x**2 + plab_y**2 + pz_lab**2)
+        rap = 0.5 * jnp.log((E_lab + pz_lab) / (E_lab - pz_lab))
+        eta_p = eta_cell
+
+    event = jax.random.randint(k_event, (capacity,), 0, n_events)
+
+    return {
+        "keep": keep,
+        "event": event,
+        "mcid": mcid_h,
+        "sp_idx": sp_idx,
+        "mass": mass,
+        "tau": tau_h,
+        "x": g(c.x),
+        "y": g(c.y_pos),
+        "eta": eta_p,
+        "t": tau_h * jnp.cosh(eta_p),
+        "z": tau_h * jnp.sinh(eta_p),
+        "E": E_lab,
+        "px": plab_x,
+        "py": plab_y,
+        "pz": pz_lab,
+        "rapidity": rap,
+        "overflow": jnp.sum(counts) > capacity,
+    }
+
+
+def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
+                     df_data: DeltafData, cfg: Config, laguerre: GaussLaguerre,
+                     n_events: int, seed: int | None = None,
+                     capacity: int | None = None):
+    """Run the sampler; returns the raw per-hadron dict (device arrays)."""
+    if cfg.df_mode == 5:
+        from .sampler_famod import prepare_sampler_famod
+        setup, species = prepare_sampler_famod(surf, species_table, chosen_idx,
+                                               cfg)
+    else:
+        setup, species = prepare_sampler(surf, species_table, chosen_idx,
+                                         df_data, cfg, laguerre)
+    mcid = jnp.asarray(species_table.mc_id[chosen_idx])
+
+    y_max = cfg.y_cut if cfg.dimension == 2 else 0.5
+    mean_total = float(jnp.sum(setup.rates * (2.0 * y_max * setup.ds_max)[:, None])) \
+        * n_events
+    if capacity is None:
+        capacity = int(mean_total * 1.2 + 6.0 * np.sqrt(max(mean_total, 1.0)) + 1024)
+
+    if seed is None:
+        seed = cfg.sampler_seed if cfg.sampler_seed >= 0 else np.random.SeedSequence().entropy
+    key = jax.random.PRNGKey(int(seed) & 0x7FFFFFFF)
+
+    out = _sample_hadrons_jit(setup, species, mcid, key, cfg, capacity, n_events)
+    if bool(out["overflow"]):
+        raise RuntimeError("sampler capacity overflow; increase capacity")
+    return out
+
+
+def to_particle_list(out) -> ParticleList:
+    keep = np.asarray(out["keep"])
+    return ParticleList(
+        valid=keep,
+        event=np.asarray(out["event"]),
+        mcid=np.asarray(out["mcid"]),
+        tau=np.asarray(out["tau"]),
+        x=np.asarray(out["x"]),
+        y=np.asarray(out["y"]),
+        eta=np.asarray(out["eta"]),
+        t=np.asarray(out["t"]),
+        z=np.asarray(out["z"]),
+        E=np.asarray(out["E"]),
+        px=np.asarray(out["px"]),
+        py=np.asarray(out["py"]),
+        pz=np.asarray(out["pz"]),
+        mass=np.asarray(out["mass"]),
+    )

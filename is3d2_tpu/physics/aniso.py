@@ -375,6 +375,7 @@ def aniso_density_integral(lam, mass, sign, degeneracy, chem=0.0):
     w_q = jnp.asarray(w1)[None, None, :]
     mbar = mass[None, :] / lam[:, None]
     Ebar = jnp.sqrt(p * p + mbar[:, :, None] ** 2)
-    I100 = jnp.sum(w_q * p * jnp.exp(p) / (jnp.exp(Ebar + chem) + sign[None, :, None]),
+    chem_b = jnp.broadcast_to(jnp.asarray(chem), mbar.shape)[:, :, None]
+    I100 = jnp.sum(w_q * p * jnp.exp(p) / (jnp.exp(Ebar + chem_b) + sign[None, :, None]),
                    axis=-1)
     return I100

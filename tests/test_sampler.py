@@ -1,0 +1,147 @@
+"""Sampler validation: sampled-vs-smooth closure (the reference's de-facto
+integration test, scripts/compare_sampling_smooth.py) plus determinism.
+
+The sampler implements outflow via the flux weight max(0, p.dsigma)/(E ds_max)
+and |df| <= 1 regulation via w_visc, so the matching smooth calculation uses
+outflow = 1 and regulate_deltaf = 1.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+from surfgen import make_surface
+
+from is3d2_tpu.config import Config
+from is3d2_tpu.io.pdg import read_pdg
+from is3d2_tpu.io.tables import GaussLaguerre, MomentumGrids
+from is3d2_tpu.io.deltaf_tables import DeltafTables
+from is3d2_tpu.io.surface import ThermoAverages
+from is3d2_tpu.physics.deltaf import DeltafData, compute_particle_densities
+from is3d2_tpu.core.spectra import compute_spectra
+from is3d2_tpu.core.sampler import (sample_particles, compute_total_yield,
+                                    to_particle_list)
+from is3d2_tpu.core.sampler_hist import bin_sampled_particles
+
+PIKP = (111, 321, 2212)
+
+
+@pytest.fixture(scope="module")
+def env(reference_dir):
+    species = read_pdg(3, reference_dir / "PDG")
+    grids = MomentumGrids.from_dir(reference_dir / "tables")
+    # the default phi table has a single point (fine for writing files, useless
+    # for closure on an azimuthally anisotropic surface) -> use the 48-pt grid
+    from is3d2_tpu.io.tables import load_table
+    phi48 = load_table(reference_dir / "tables/all_tables/phi/phi_gauss_table_48pt.dat")
+    grids.phi = phi48[:, 0]
+    grids.phi_weight = phi48[:, 1]
+    laguerre = GaussLaguerre.from_file(reference_dir / "tables/gauss/gla_roots_weights.txt")
+    tables = DeltafTables.load(3, include_baryon=False,
+                               base_dir=reference_dir / "deltaf_coefficients/vh")
+    surf = make_surface(60, seed=3, shear_scale=0.03, bulk_scale=0.01)
+    plasma = surf.thermo_averages()
+    return species, grids, laguerre, tables, surf, plasma
+
+
+@pytest.mark.parametrize("df_mode", [1, 2, 3, 4])
+def test_sampler_closure_vs_smooth(env, df_mode):
+    species, grids, laguerre, tables, surf, plasma = env
+
+    cfg = Config(operation=2, df_mode=df_mode, hrg_eos=3,
+                 include_shear_deltaf=1, include_bulk_deltaf=1,
+                 regulate_deltaf=1, outflow=1, fast=1, sampler_seed=7,
+                 y_cut=5.0, pT_bins=30, cell_block=64)
+    df_data = DeltafData(tables, df_mode, include_baryon=False)
+    if df_mode == 4:
+        df_data.compute_jonah_coefficients(species, laguerre, plasma)
+    compute_particle_densities(species, df_data, laguerre, plasma)
+    chosen = species.chosen_indices(PIKP)
+
+    # smooth spectra -> true dN/dy at y=0 per species:
+    # dN/dy = int pT dpT dphi dN/(pT dpT dphi dy)
+    smooth = compute_spectra(surf, species, chosen, grids, df_data, cfg, laguerre)
+    w = (grids.pT_weight * grids.pT)[None, :, None, None] \
+        * grids.phi_weight[None, None, :, None]
+    dN_dy_smooth = (w * smooth).sum(axis=(1, 2, 3))   # (S,)
+
+    n_events = 30000
+    out = sample_particles(surf, species, chosen, df_data, cfg, laguerre,
+                           n_events=n_events, seed=7)
+    hist = bin_sampled_particles(out, len(PIKP), cfg, n_events)
+
+    # sampled dN/dy: flat in y by construction; average over bins
+    counts = hist.dN_dy.sum(axis=1)                    # total kept per species
+    dN_dy_sampled = counts / (2.0 * cfg.y_cut * n_events)
+    sigma = np.sqrt(np.maximum(counts, 1.0)) / (2.0 * cfg.y_cut * n_events)
+
+    for i, mcid in enumerate(PIKP):
+        assert counts[i] > 3000, f"too few sampled hadrons for {mcid}"
+        diff = abs(dN_dy_sampled[i] - dN_dy_smooth[i])
+        assert diff < 5.0 * sigma[i] + 0.01 * dN_dy_smooth[i], (
+            f"{mcid}: sampled {dN_dy_sampled[i]:.5f} vs smooth "
+            f"{dN_dy_smooth[i]:.5f} (sigma {sigma[i]:.5f})")
+
+    # pT spectrum shape: sampled dN/2pipTdpTdy vs smooth, pion only
+    pT_w = (cfg.pT_max - cfg.pT_min) / cfg.pT_bins
+    pT_mid = cfg.pT_min + pT_w * (np.arange(cfg.pT_bins) + 0.5)
+    sampled_pT = hist.dN_2pipTdpTdy[0] / (
+        2 * np.pi * 2.0 * cfg.y_cut * pT_w * pT_mid * n_events)
+    # smooth: (1/2pi) integral dphi dN/pTdpTdphidy, interpolated to midpoints
+    smooth_pT_grid = (grids.phi_weight[None, :] * smooth[0, :, :, 0]).sum(axis=1) / (2 * np.pi)
+    smooth_pT = np.interp(pT_mid, grids.pT, smooth_pT_grid)
+
+    counts_pT = hist.dN_2pipTdpTdy[0]
+    sel = counts_pT > 400
+    assert sel.sum() > 5
+    rel = np.abs(sampled_pT[sel] - smooth_pT[sel]) / smooth_pT[sel]
+    stat = 5.0 / np.sqrt(counts_pT[sel]) + 0.05
+    assert (rel < stat).all(), \
+        f"pT spectrum mismatch: max rel {rel.max():.3f} vs allowed {stat.min():.3f}"
+
+
+def test_sampler_deterministic(env):
+    species, grids, laguerre, tables, surf, plasma = env
+    cfg = Config(operation=2, df_mode=1, hrg_eos=3, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, fast=1, cell_block=64)
+    df_data = DeltafData(tables, 1, include_baryon=False)
+    compute_particle_densities(species, df_data, laguerre, plasma)
+    chosen = species.chosen_indices(PIKP)
+
+    o1 = sample_particles(surf, species, chosen, df_data, cfg, laguerre,
+                          n_events=100, seed=11)
+    o2 = sample_particles(surf, species, chosen, df_data, cfg, laguerre,
+                          n_events=100, seed=11)
+    p1, p2 = to_particle_list(o1), to_particle_list(o2)
+    assert p1.n_valid == p2.n_valid and p1.n_valid > 0
+    np.testing.assert_array_equal(p1.px[p1.valid], p2.px[p2.valid])
+
+    o3 = sample_particles(surf, species, chosen, df_data, cfg, laguerre,
+                          n_events=100, seed=12)
+    assert to_particle_list(o3).n_valid != p1.n_valid or \
+        not np.array_equal(to_particle_list(o3).px, p1.px)
+
+
+def test_total_yield_matches_sampled(env):
+    """calculate_total_yield estimate vs actually kept hadrons."""
+    species, grids, laguerre, tables, surf, plasma = env
+    cfg = Config(operation=2, df_mode=2, hrg_eos=3, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, fast=1, cell_block=64)
+    df_data = DeltafData(tables, 2, include_baryon=False)
+    compute_particle_densities(species, df_data, laguerre, plasma)
+    chosen = species.chosen_indices(PIKP)
+
+    Ntot = compute_total_yield(surf, species, chosen, df_data, cfg, laguerre)
+    assert Ntot > 0
+
+    n_events = 20000
+    out = sample_particles(surf, species, chosen, df_data, cfg, laguerre,
+                           n_events=n_events, seed=5)
+    kept = float(np.asarray(out["keep"]).sum()) / n_events
+    # the estimator is the mean of the kept yield up to the viscous-weight
+    # approximation; agree within ~5% + stats
+    assert abs(kept - Ntot) < 0.05 * Ntot + 5.0 * np.sqrt(Ntot / n_events)

@@ -1,0 +1,162 @@
+"""Top-level particlization driver.
+
+Replaces the reference's IS3D class (iS3D.cpp:81-282) and the
+EmissionFunctionArray dispatcher (EmissionFunction.cpp:981-1386): load
+parameters, surface, PDG list, delta-f coefficient tables, quadrature grids,
+then run the requested operation and write results.
+
+Library use (the JETSCAPE-style in-memory path, iS3D.cpp:33-78) is
+``IS3D.from_memory(...)``; after operation 2 the sampled events are available
+as ``.final_particles``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+
+import numpy as np
+
+from .config import Config
+from .io.tables import GaussLaguerre, GaussLegendre, MomentumGrids, load_table
+from .io.pdg import read_pdg, SpeciesTable
+from .io.surface import (SurfaceData, ThermoAverages, read_surface,
+                         surface_from_memory)
+from .io.deltaf_tables import DeltafTables
+from .io import output
+from .physics.deltaf import DeltafData, compute_particle_densities
+from .core.spectra import compute_spectra
+from .core.spacetime import compute_dN_dX
+from .core.polarization import compute_polarization
+from .core.sampler import (compute_total_yield, number_of_events,
+                           sample_particles, to_particle_list)
+from .core.sampler_hist import bin_sampled_particles
+
+
+class IS3D:
+    """One particlization run rooted at a working directory laid out like the
+    reference repo (PDG/, tables/, deltaf_coefficients/, input/, results/)."""
+
+    def __init__(self, workdir: str | Path = ".",
+                 cfg: Config | None = None,
+                 data_dir: str | Path | None = None):
+        self.workdir = Path(workdir)
+        self.data_dir = Path(data_dir) if data_dir else self.workdir
+        if cfg is None:
+            cfg = Config.from_file(self.workdir / "iS3D_parameters.dat")
+        cfg.validate()
+        self.cfg = cfg
+        self.surface: SurfaceData | None = None
+        self.final_particles = None
+        self.spectra = None
+        self.histograms = None
+
+    # ------------------------------------------------------------------
+    def load_surface_from_file(self, path: str | Path | None = None) -> None:
+        path = Path(path) if path else self.workdir / "input/surface.dat"
+        self.surface = read_surface(path, self.cfg.mode, self.cfg.dimension,
+                                    bool(self.cfg.include_baryon))
+
+    def load_surface_from_memory(self, **fields) -> None:
+        self.surface = surface_from_memory(**fields)
+
+    # ------------------------------------------------------------------
+    def _setup(self):
+        cfg = self.cfg
+        data = self.data_dir
+
+        self.species = read_pdg(cfg.hrg_eos, data / "PDG")
+        chosen_mcids = load_table(data / "PDG/chosen_particles.dat")[:, 0].astype(int)
+        self.chosen_mcids = chosen_mcids
+        self.chosen_idx = self.species.chosen_indices(
+            chosen_mcids, group_by_mass=bool(cfg.group_particles))
+
+        self.laguerre = GaussLaguerre.from_file(data / "tables/gauss/gla_roots_weights.txt")
+        self.legendre = GaussLegendre.from_file(data / "tables/gauss/gauss_legendre.dat")
+        self.grids = MomentumGrids.from_dir(data / "tables")
+
+        # surface-averaged thermodynamics (cross-phase handoff file,
+        # readindata.cpp:363-366)
+        self.plasma = self.surface.thermo_averages()
+        self.plasma.write(self.workdir
+                          / "tables/thermodynamic/average_thermodynamic_quantities.dat")
+
+        tables = DeltafTables.load(cfg.hrg_eos, bool(cfg.include_baryon),
+                                   data / "deltaf_coefficients/vh")
+        self.df_data = DeltafData(tables, cfg.df_mode, bool(cfg.include_baryon))
+        if not cfg.include_baryon:
+            self.df_data.compute_jonah_coefficients(self.species, self.laguerre,
+                                                    self.plasma)
+        compute_particle_densities(self.species, self.df_data, self.laguerre,
+                                   self.plasma)
+
+    # ------------------------------------------------------------------
+    def run_particlization(self, fo_from_file: bool = True,
+                           write: bool = True) -> None:
+        cfg = self.cfg
+        if fo_from_file or self.surface is None:
+            self.load_surface_from_file()
+        t0 = time.time()
+        self._setup()
+
+        results = self.workdir / "results"
+        mcids = [int(self.species.mc_id[i]) for i in self.chosen_idx]
+
+        if cfg.operation == 0:
+            dX = compute_dN_dX(self.surface, self.species, self.chosen_idx,
+                               self.grids, self.df_data, cfg, self.laguerre)
+            self.dN_dX = dX
+            if write:
+                output.write_dN_dX(results, mcids, dX, cfg)
+
+        elif cfg.operation == 1:
+            spectra = compute_spectra(self.surface, self.species,
+                                      self.chosen_idx, self.grids,
+                                      self.df_data, cfg, self.laguerre)
+            self.spectra = spectra
+            if write:
+                output.write_spectra(results, mcids, spectra, self.grids,
+                                     cfg.dimension)
+                output.write_vn(results, mcids, spectra, self.grids, cfg.dimension)
+                output.write_dN_2pipTdpTdy(results, mcids, spectra, self.grids,
+                                           cfg.dimension)
+                output.write_dN_dphidy(results, mcids, spectra, self.grids,
+                                       cfg.dimension)
+                output.write_dN_dy(results, mcids, spectra, self.grids,
+                                   cfg.dimension)
+
+        elif cfg.operation == 2:
+            Ntot = compute_total_yield(self.surface, self.species,
+                                       self.chosen_idx, self.df_data, cfg,
+                                       self.laguerre)
+            n_events = number_of_events(Ntot, cfg)
+            self.n_events = n_events
+            print(f"Estimated total particle yield = {int(Ntot)} particles; "
+                  f"sampling {n_events} events")
+
+            out = sample_particles(self.surface, self.species, self.chosen_idx,
+                                   self.df_data, cfg, self.laguerre, n_events)
+            if cfg.test_sampler:
+                self.histograms = bin_sampled_particles(out, len(mcids), cfg,
+                                                        n_events)
+                if write:
+                    output.write_sampled_histograms(results, mcids,
+                                                    self.histograms, cfg)
+            else:
+                self.final_particles = to_particle_list(out)
+                if write:
+                    output.write_particle_list_oscar(results,
+                                                     self.final_particles,
+                                                     n_events)
+
+        if cfg.mode == 5:
+            St, Sx, Sy, Sn, Snorm = compute_polarization(
+                self.surface, self.species, self.chosen_idx, self.grids,
+                self.plasma, cfg)
+            self.polarization = (St, Sx, Sy, Sn, Snorm)
+            if write:
+                output.write_polarization(results, St, Sx, Sy, Sn, Snorm,
+                                          self.grids, cfg.dimension)
+
+        print(f"Particlization took {time.time() - t0:.3f} seconds")

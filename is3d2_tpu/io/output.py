@@ -1,0 +1,251 @@
+"""Result writers with reference-compatible file formats and naming.
+
+Mirrors the writers in EmissionFunction.cpp:406-975 so the reference's own
+analysis/comparison scripts run unmodified on our outputs:
+
+  results/continuous/dN_pTdpTdphidy_<mcid>.dat      (y phip pT value)
+  results/continuous/vn_<mcid>.dat                  (y pT v1..v7)
+  results/continuous/dN_2pipTdpTdy_<mcid>.dat
+  results/continuous/dN_dphidy_<mcid>.dat
+  results/continuous/dN_dy_<mcid>.dat
+  results/continuous/dN_taudtaudy_<mcid>.dat  (operation 0)
+  results/continuous/dN_2pirdrdy_<mcid>.dat
+  results/continuous/dN_dphidy_<mcid>.dat
+  results/St.dat Sx.dat Sy.dat Sn.dat               (polarization)
+  results/sampled/<obs>/..._test.dat                (sampler tests)
+  results/particle_list_osc_<n>.dat                 (OSCAR)
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from ..config import Config
+from ..constants import two_pi
+from ..io.tables import MomentumGrids
+
+
+def _ensure(path: Path) -> Path:
+    path.parent.mkdir(parents=True, exist_ok=True)
+    return path
+
+
+def write_spectra(results_dir: Path, mcids, spectra: np.ndarray,
+                  grids: MomentumGrids, dimension: int) -> None:
+    """dN_pTdpTdphidy_<mcid>.dat (EmissionFunction.cpp:406-440)."""
+    S, NpT, Nphi, Ny = spectra.shape
+    y_vals = grids.y if dimension == 3 else np.zeros(1)
+    for i, mcid in enumerate(mcids):
+        f = _ensure(results_dir / "continuous" / f"dN_pTdpTdphidy_{mcid}.dat")
+        with open(f, "w") as fh:
+            fh.write("y\tphip\tpT\tdN_pTdpTdphidy\n")
+            for iy in range(Ny):
+                for iphi in range(Nphi):
+                    for ipT in range(NpT):
+                        fh.write(f"{y_vals[iy]:.8e}\t{grids.phi[iphi]:.8e}\t"
+                                 f"{grids.pT[ipT]:.8e}\t"
+                                 f"{spectra[i, ipT, iphi, iy]:.8e}\n")
+                    fh.write("\n")
+
+
+def write_vn(results_dir: Path, mcids, spectra: np.ndarray,
+             grids: MomentumGrids, dimension: int, k_max: int = 7) -> None:
+    """vn_<mcid>.dat (EmissionFunction.cpp:804-878)."""
+    S, NpT, Nphi, Ny = spectra.shape
+    y_vals = grids.y if dimension == 3 else np.zeros(1)
+    w = grids.phi_weight
+    cos_k = np.stack([np.cos((k + 1) * grids.phi) for k in range(k_max)])
+    sin_k = np.stack([np.sin((k + 1) * grids.phi) for k in range(k_max)])
+    for i, mcid in enumerate(mcids):
+        f = _ensure(results_dir / "continuous" / f"vn_{mcid}.dat")
+        with open(f, "w") as fh:
+            for iy in range(Ny):
+                for ipT in range(NpT):
+                    sp = spectra[i, ipT, :, iy]
+                    den = float((w * sp).sum())
+                    re = (cos_k * (w * sp)[None, :]).sum(axis=1)
+                    im = (sin_k * (w * sp)[None, :]).sum(axis=1)
+                    vns = np.where(den < 1e-15, 0.0, np.hypot(re, im) / max(den, 1e-300))
+                    row = "\t".join(f"{v:.8e}" for v in vns)
+                    fh.write(f"{y_vals[iy]:.8e}\t{grids.pT[ipT]:.8e}\t{row}\n")
+                fh.write("\n")
+
+
+def write_dN_2pipTdpTdy(results_dir: Path, mcids, spectra, grids, dimension):
+    S, NpT, Nphi, Ny = spectra.shape
+    y_vals = grids.y if dimension == 3 else np.zeros(1)
+    for i, mcid in enumerate(mcids):
+        f = _ensure(results_dir / "continuous" / f"dN_2pipTdpTdy_{mcid}.dat")
+        with open(f, "w") as fh:
+            for iy in range(Ny):
+                for ipT in range(NpT):
+                    val = float((grids.phi_weight * spectra[i, ipT, :, iy]).sum()) / two_pi
+                    fh.write(f"{y_vals[iy]:.8e}\t{grids.pT[ipT]:.8e}\t{val:.8e}\n")
+                if iy < Ny - 1:
+                    fh.write("\n")
+
+
+def write_dN_dphidy(results_dir: Path, mcids, spectra, grids, dimension):
+    S, NpT, Nphi, Ny = spectra.shape
+    y_vals = grids.y if dimension == 3 else np.zeros(1)
+    for i, mcid in enumerate(mcids):
+        f = _ensure(results_dir / "continuous" / f"dN_dphidy_{mcid}.dat")
+        with open(f, "w") as fh:
+            for iy in range(Ny):
+                for iphi in range(Nphi):
+                    val = float((grids.pT_weight * spectra[i, :, iphi, iy]).sum())
+                    fh.write(f"{y_vals[iy]:.8e}\t{grids.phi[iphi]:.8e}\t{val:.8e}\n")
+                if iy < Ny - 1:
+                    fh.write("\n")
+
+
+def write_dN_dy(results_dir: Path, mcids, spectra, grids, dimension):
+    S, NpT, Nphi, Ny = spectra.shape
+    y_vals = grids.y if dimension == 3 else np.zeros(1)
+    for i, mcid in enumerate(mcids):
+        f = _ensure(results_dir / "continuous" / f"dN_dy_{mcid}.dat")
+        with open(f, "w") as fh:
+            for iy in range(Ny):
+                val = float((grids.phi_weight[None, :]
+                             * grids.pT_weight[:, None]
+                             * spectra[i, :, :, iy]).sum())
+                fh.write(f"{y_vals[iy]:.8f}\t{val:.8f}\n")
+
+
+def write_dN_dX(results_dir: Path, mcids, dX, cfg: Config):
+    """Spacetime distributions (SpacetimeDistribution.cpp:448-496)."""
+    tau_n, r_n, phi_n = dX.normalized(cfg)
+    for i, mcid in enumerate(mcids):
+        with open(_ensure(results_dir / "continuous" / f"dN_taudtaudy_{mcid}.dat"), "w") as fh:
+            for j, t in enumerate(dX.tau_mid):
+                fh.write(f"{t:.6e}\t{tau_n[i, j]:.6e}\n")
+        with open(_ensure(results_dir / "continuous" / f"dN_2pirdrdy_{mcid}.dat"), "w") as fh:
+            for j, r in enumerate(dX.r_mid):
+                fh.write(f"{r:.6e}\t{r_n[i, j]:.6e}\n")
+        with open(_ensure(results_dir / "continuous" / f"dN_dphidy_{mcid}.dat"), "w") as fh:
+            for j, p in enumerate(dX.phi_mid):
+                fh.write(f"{p:.6e}\t{phi_n[i, j]:.6e}\n")
+
+
+def write_polarization(results_dir: Path, St, Sx, Sy, Sn, Snorm, grids,
+                       dimension: int):
+    """St/Sx/Sy/Sn.dat with S^mu/Snorm (EmissionFunction.cpp:561-609).
+
+    Unlike the reference we use one consistent (ipart, pT, phi, y) layout for
+    both accumulation and writing."""
+    S, NpT, Nphi, Ny = St.shape
+    y_vals = grids.y if dimension == 3 else np.zeros(1)
+    comps = {"St": St, "Sx": Sx, "Sy": Sy, "Sn": Sn}
+    for name, arr in comps.items():
+        with open(_ensure(results_dir / f"{name}.dat"), "w") as fh:
+            for i in range(S):
+                for iy in range(Ny):
+                    for iphi in range(Nphi):
+                        for ipT in range(NpT):
+                            val = arr[i, ipT, iphi, iy] / Snorm[i, ipT, iphi, iy]
+                            fh.write(f"{y_vals[iy]:.8e}\t{grids.phi[iphi]:.8e}\t"
+                                     f"{grids.pT[ipT]:.8e}\t{val:.8e}\n")
+                        fh.write("\n")
+
+
+# ----------------------------------------------------------------------
+# sampled outputs
+# ----------------------------------------------------------------------
+
+def write_sampled_histograms(results_dir: Path, mcids, hist, cfg: Config):
+    """Event-averaged sampler-test distributions
+    (EmissionFunction.cpp:685-975)."""
+    nev = hist.n_events
+    y_w = 2.0 * cfg.y_cut / cfg.y_bins
+    eta_w = 2.0 * cfg.eta_cut / cfg.eta_bins
+    pT_w = (cfg.pT_max - cfg.pT_min) / cfg.pT_bins
+    phip_w = two_pi / cfg.phip_bins
+    tau_w = (cfg.tau_max - cfg.tau_min) / cfg.tau_bins
+    r_w = (cfg.r_max - cfg.r_min) / cfg.r_bins
+
+    y_mid = -cfg.y_cut + y_w * (np.arange(cfg.y_bins) + 0.5)
+    eta_mid = -cfg.eta_cut + eta_w * (np.arange(cfg.eta_bins) + 0.5)
+    pT_mid = cfg.pT_min + pT_w * (np.arange(cfg.pT_bins) + 0.5)
+    phip_mid = phip_w * (np.arange(cfg.phip_bins) + 0.5)
+    tau_mid = cfg.tau_min + tau_w * (np.arange(cfg.tau_bins) + 0.5)
+    r_mid = cfg.r_min + r_w * (np.arange(cfg.r_bins) + 0.5)
+
+    for i, mcid in enumerate(mcids):
+        with open(_ensure(results_dir / "sampled/dN_dy" / f"dN_dy_{mcid}_test.dat"), "w") as fh:
+            for j in range(cfg.y_bins):
+                fh.write(f"{y_mid[j]:.6f}\t{hist.dN_dy[i, j] / (y_w * nev):.6f}\n")
+        with open(_ensure(results_dir / "sampled/dN_dy" / f"dN_dy_{mcid}_average_test.dat"), "w") as fh:
+            fh.write(f"{hist.dN_dy[i].sum() / (2.0 * cfg.y_cut * nev):.6f}\n")
+        with open(_ensure(results_dir / "sampled/dN_deta" / f"dN_deta_{mcid}_test.dat"), "w") as fh:
+            for j in range(cfg.eta_bins):
+                fh.write(f"{eta_mid[j]:.6f}\t{hist.dN_deta[i, j] / (eta_w * nev):.6f}\n")
+        with open(_ensure(results_dir / "sampled/dN_2pipTdpTdy" / f"dN_2pipTdpTdy_{mcid}_test.dat"), "w") as fh:
+            for j in range(cfg.pT_bins):
+                val = hist.dN_2pipTdpTdy[i, j] / (two_pi * 2.0 * cfg.y_cut * pT_w * pT_mid[j] * nev)
+                fh.write(f"{pT_mid[j]:.6e}\t{val:.6e}\n")
+        with open(_ensure(results_dir / "sampled/dN_dphipdy" / f"dN_dphipdy_{mcid}_test.dat"), "w") as fh:
+            for j in range(cfg.phip_bins):
+                val = hist.dN_dphipdy[i, j] / (2.0 * cfg.y_cut * phip_w * nev)
+                fh.write(f"{phip_mid[j]:.6e}\t{val:.6e}\n")
+        with open(_ensure(results_dir / "sampled/vn" / f"vn_{mcid}_test.dat"), "w") as fh:
+            for j in range(cfg.pT_bins):
+                cnt = hist.pT_count[i, j]
+                row = [f"{pT_mid[j]:.6e}"]
+                for k in range(hist.vn_real.shape[0]):
+                    v = np.hypot(hist.vn_real[k, i, j], hist.vn_imag[k, i, j]) / cnt \
+                        if cnt > 0 else 0.0
+                    row.append(f"{v:.6e}")
+                fh.write("\t".join(row) + "\n")
+        with open(_ensure(results_dir / "sampled/dN_taudtaudy" / f"dN_taudtaudy_{mcid}_test.dat"), "w") as fh:
+            for j in range(cfg.tau_bins):
+                val = hist.dN_taudtaudy[i, j] / (tau_mid[j] * tau_w * nev * 2.0 * cfg.y_cut)
+                fh.write(f"{tau_mid[j]:.6e}\t{val:.6e}\n")
+        with open(_ensure(results_dir / "sampled/dN_2pirdrdy" / f"dN_2pirdrdy_{mcid}_test.dat"), "w") as fh:
+            for j in range(cfg.r_bins):
+                val = hist.dN_2pirdrdy[i, j] / (two_pi * r_mid[j] * r_w * nev * 2.0 * cfg.y_cut)
+                fh.write(f"{r_mid[j]:.6e}\t{val:.6e}\n")
+        with open(_ensure(results_dir / "sampled/dN_dphisdy" / f"dN_dphisdy_{mcid}_test.dat"), "w") as fh:
+            for j in range(cfg.phip_bins):
+                val = hist.dN_dphisdy[i, j] / (phip_w * nev * 2.0 * cfg.y_cut)
+                fh.write(f"{phip_mid[j]:.6e}\t{val:.6e}\n")
+
+
+def write_particle_list_oscar(results_dir: Path, particles, n_events: int):
+    """OSCAR particle lists for UrQMD/SMASH afterburners
+    (write_particle_list_OSC, EmissionFunction.cpp:645-678)."""
+    valid = particles.valid
+    ev = particles.event
+    for ievent in range(n_events):
+        sel = valid & (ev == ievent)
+        idx = np.nonzero(sel)[0]
+        f = _ensure(results_dir / f"particle_list_osc_{ievent + 1}.dat")
+        with open(f, "w") as fh:
+            fh.write("n pid px py pz E m x y z t\n")
+            for n, k in enumerate(idx):
+                fh.write(f"{n} {particles.mcid[k]} "
+                         f"{particles.px[k]:.16e} {particles.py[k]:.16e} "
+                         f"{particles.pz[k]:.16e} {particles.E[k]:.16e} "
+                         f"{particles.mass[k]:.16e} {particles.x[k]:.16e} "
+                         f"{particles.y[k]:.16e} {particles.z[k]:.16e} "
+                         f"{particles.t[k]:.16e}\n")
+
+
+def write_particle_list_csv(results_dir: Path, particles, n_events: int):
+    """Plain CSV particle lists (write_particle_list_toFile,
+    EmissionFunction.cpp:611-642)."""
+    valid = particles.valid
+    ev = particles.event
+    for ievent in range(n_events):
+        sel = valid & (ev == ievent)
+        idx = np.nonzero(sel)[0]
+        f = _ensure(results_dir / f"particle_list_{ievent + 1}.dat")
+        with open(f, "w") as fh:
+            fh.write("mcid,tau,x,y,eta,E,px,py,pz\n")
+            for k in idx:
+                fh.write(f"{particles.mcid[k]},{particles.tau[k]:.8e},"
+                         f"{particles.x[k]:.8e},{particles.y[k]:.8e},"
+                         f"{particles.eta[k]:.8e},{particles.E[k]:.8e},"
+                         f"{particles.px[k]:.8e},{particles.py[k]:.8e},"
+                         f"{particles.pz[k]:.8e}\n")

@@ -1,0 +1,137 @@
+"""Multi-chip sharding of the Cooper-Frye engines.
+
+The reference's only parallel structures are OpenMP cell striding with
+per-core slabs + reduction (MomentumSpectra.cpp:95-415) and process-level
+sampler farming (scripts/run_multithread_sampling_iS3D.py).  The TPU-native
+equivalent is a jax.sharding Mesh with two axes:
+
+  * "cells":   the freezeout-cell axis (the reference's OpenMP axis).  Each
+    device reduces its cell shard locally; a psum over ICI replaces the
+    per-core slab reduction.
+  * "species": the HRG-species axis (the reference's outermost GPU loop,
+    emissionfunction.cu:2494).  Species shards are embarrassingly parallel;
+    outputs stay sharded over this axis.
+
+The same mesh serves the sampler (cells axis shards the Poisson rate matrix;
+histograms psum over cells).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..config import Config
+from ..core.cells import CellArrays
+from ..core.spectra import (MomentumGridDevice, SpeciesArrays,
+                            _cell_block_df12)
+
+
+def make_mesh(n_cell_shards: int | None = None, n_species_shards: int = 1,
+              devices=None) -> Mesh:
+    """Build a ("cells", "species") mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n_cell_shards is None:
+        n_cell_shards = n // n_species_shards
+    assert n_cell_shards * n_species_shards == n, \
+        f"{n_cell_shards} x {n_species_shards} != {n} devices"
+    dev = np.array(devices).reshape(n_cell_shards, n_species_shards)
+    return Mesh(dev, axis_names=("cells", "species"))
+
+
+def _pad_axis(a, n_target, axis=0, fill=0.0):
+    pad = n_target - a.shape[axis]
+    if pad == 0:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(a, widths, constant_values=fill)
+
+
+_SAFE_FILLS = {"T": 0.15, "P": 0.08, "E": 0.25, "tau": 1.0, "ut": 1.0}
+
+
+def pad_cells_for_mesh(cells: CellArrays, coeffs: dict, n_shards: int,
+                       block: int):
+    """Pad the cell axis to a multiple of n_shards * block (mask stays 0 on
+    padding; thermodynamic fields get safe fills to keep exp() finite)."""
+    n = cells.n_padded
+    unit = n_shards * block
+    n_target = ((n + unit - 1) // unit) * unit
+
+    fields = {}
+    for f in dataclasses.fields(cells):
+        fill = _SAFE_FILLS.get(f.name, 0.0)
+        fields[f.name] = _pad_axis(getattr(cells, f.name), n_target, fill=fill)
+    cells_p = CellArrays(**fields)
+    coeffs_p = {k: _pad_axis(v, n_target) for k, v in coeffs.items()}
+    return cells_p, coeffs_p
+
+
+def pad_species(species: SpeciesArrays, n_shards: int) -> SpeciesArrays:
+    S = species.mass.shape[0]
+    S_target = ((S + n_shards - 1) // n_shards) * n_shards
+    return SpeciesArrays(
+        mass=_pad_axis(species.mass, S_target, fill=1.0),
+        sign=_pad_axis(species.sign, S_target, fill=-1.0),
+        degeneracy=_pad_axis(species.degeneracy, S_target, fill=0.0),  # 0 => no contribution
+        baryon=_pad_axis(species.baryon, S_target, fill=0.0),
+    )
+
+
+def sharded_spectra(cells: CellArrays, coeffs: dict, species: SpeciesArrays,
+                    grid: MomentumGridDevice, cfg: Config, mesh: Mesh,
+                    block: int = 1024):
+    """df 1/2 spectra with cells sharded over "cells" and species over
+    "species".  Returns the full (S, NpT, Nphi, Ny) array (species shards
+    gathered at the end).
+    """
+    n_cell_shards = mesh.shape["cells"]
+    n_sp_shards = mesh.shape["species"]
+
+    cells, coeffs = pad_cells_for_mesh(cells, coeffs, n_cell_shards, block)
+    species = pad_species(species, n_sp_shards)
+
+    local_cells = cells.n_padded // n_cell_shards
+    n_blocks = max(local_cells // min(block, local_cells), 1)
+
+    cell_spec = jax.tree_util.tree_map(lambda _: P("cells"), cells)
+    coeff_spec = {k: P("cells") for k in coeffs}
+    sp_spec = jax.tree_util.tree_map(lambda _: P("species"), species)
+
+    grid_spec = jax.tree_util.tree_map(lambda _: P(), grid)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(cell_spec, coeff_spec, sp_spec, grid_spec),
+             out_specs=P("species"), check_vma=False)
+    def run(cells_l, coeffs_l, species_l, grid_l):
+        S_local = species_l.mass.shape[0]
+        out_shape = (S_local, grid_l.pT.shape[0], grid_l.cos_phi.shape[0],
+                     grid_l.y.shape[0])
+        blk = cells_l.tau.shape[0] // n_blocks
+
+        def take(a, i):
+            return jax.lax.dynamic_slice_in_dim(a, i * blk, blk, axis=0)
+
+        def body(acc, i):
+            cb = jax.tree_util.tree_map(lambda a: take(a, i), cells_l)
+            kb = {k: take(v, i) for k, v in coeffs_l.items()}
+            return acc + _cell_block_df12(cb, kb, species_l, grid_l, cfg), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros(out_shape), jnp.arange(n_blocks))
+        # the reference's per-core slab reduction -> one psum over ICI
+        return jax.lax.psum(acc, axis_name="cells")
+
+    return run(cells, coeffs, species, grid)

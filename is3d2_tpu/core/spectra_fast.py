@@ -1,0 +1,201 @@
+"""MXU-structured Cooper-Frye spectra (df 1/2), the TPU performance path.
+
+The CF integrand's heavy lifting is a set of small contractions between
+per-cell vectors and a momentum-grid matrix:
+
+    E[c,m]    = Q_E[c,1:4]  . P[1:4,m]          (u . p)
+    pdd[c,m]  = Q_d[c,1:4]  . P[1:4,m]          (p . dsigma)
+    pim[c,m]  = Q_pi[c,10]  . PP[10,m]          (pi^munu p_mu p_nu)
+    Vp[c,m]   = Q_V[c,1:4]  . P[1:4,m]          (V . p)
+
+with m = (species, pT, phi) and P rows (mT cosh(y-eta_e), px, py,
+mT sinh(y-eta_e)) per eta point e.  Expressed as jnp.dot these run on the
+MXU; the remaining elementwise chain (exp, feq, df assembly, accumulate) is
+a few VPU ops per element, and the final cell reduction is itself a matmul
+with the cell-mask row vector.
+
+This is algebraically identical to core/spectra.py's broadcast form (same
+operations, same order within each dot product up to matmul reassociation)
+and is validated against it; the f64 reference path remains spectra.py.
+
+Currently implements the 2+1d benchmark path (boost-invariant surfaces,
+df 1/2); 3+1d falls back to the broadcast kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from .cells import CellArrays
+from .spectra import PREFACTOR, MomentumGridDevice, SpeciesArrays
+
+
+def momentum_matrix(species: SpeciesArrays, grid: MomentumGridDevice, dtype):
+    """Per-m arrays (m = species x pT x phi): mT, px, py, mass^2, baryon, sign
+    and per-species degeneracy folded out later."""
+    mT = jnp.sqrt(species.mass[:, None] ** 2 + grid.pT[None, :] ** 2)  # (s,p)
+    S, NpT = mT.shape
+    Nphi = grid.cos_phi.shape[0]
+    M = S * NpT * Nphi
+
+    mT_m = jnp.broadcast_to(mT[:, :, None], (S, NpT, Nphi)).reshape(M)
+    px_m = jnp.broadcast_to((grid.pT[:, None] * grid.cos_phi[None, :])[None],
+                            (S, NpT, Nphi)).reshape(M)
+    py_m = jnp.broadcast_to((grid.pT[:, None] * grid.sin_phi[None, :])[None],
+                            (S, NpT, Nphi)).reshape(M)
+    mass2_m = jnp.broadcast_to((species.mass ** 2)[:, None, None],
+                               (S, NpT, Nphi)).reshape(M)
+    b_m = jnp.broadcast_to(species.baryon[:, None, None], (S, NpT, Nphi)).reshape(M)
+    sgn_m = jnp.broadcast_to(species.sign[:, None, None], (S, NpT, Nphi)).reshape(M)
+    return tuple(a.astype(dtype) for a in (mT_m, px_m, py_m, mass2_m, b_m, sgn_m))
+
+
+def _cell_Q(cells: CellArrays, coeffs: dict, dtype):
+    """Per-cell contraction coefficient rows."""
+    c = cells
+    tau = c.tau
+    tau2 = tau * tau
+    # u.p rows against (mT cosh, px, py, mT sinh):
+    #   E = mT cosh . ut - px ux - py uy - (mT sinh / tau) tau^2 un
+    Q_E = jnp.stack([c.ut, -c.ux, -c.uy, -tau * c.un], axis=1)
+    # p.dsigma = mT cosh . dat + px dax + py day + (mT sinh / tau) dan
+    Q_d = jnp.stack([c.dat, c.dax, c.day, c.dan / tau], axis=1)
+    # pi^munu p_mu p_nu against the 10 quadratics
+    # (m1m1, m2m2, m3m3, m4m4, m1m2, m1m3, m1m4, m2m3, m2m4, m3m4)
+    Q_pi = jnp.stack([
+        c.pitt, c.pixx, c.piyy, tau2 * c.pinn,
+        -2.0 * c.pitx, -2.0 * c.pity, -2.0 * tau * c.pitn,
+        2.0 * c.pixy, 2.0 * tau * c.pixn, 2.0 * tau * c.piyn,
+    ], axis=1)
+    Q_V = jnp.stack([c.Vt, -c.Vx, -c.Vy, -tau * c.Vn], axis=1)
+
+    cols = {k: v.astype(dtype) for k, v in coeffs.items()}
+    per_cell = {
+        "Q_E": Q_E.astype(dtype),
+        "Q_d": Q_d.astype(dtype),
+        "Q_pi": Q_pi.astype(dtype),
+        "Q_V": Q_V.astype(dtype),
+        "invT": (1.0 / c.T).astype(dtype),
+        "alphaB": c.alphaB.astype(dtype),
+        "mask": c.mask.astype(dtype),
+        **cols,
+    }
+    return per_cell
+
+
+def _block_fast(q: dict, mom, eta, eta_w, cfg: Config, acc_dtype):
+    """One cell block: loop eta points, MXU contractions + fused VPU chain,
+    cell reduction via mask-row matmul.  Returns (M,) partial spectra."""
+    mT_m, px_m, py_m, mass2_m, b_m, sgn_m = mom
+    C = q["invT"].shape[0]
+    M = mT_m.shape[0]
+
+    def one_eta(carry, ew):
+        acc = carry
+        cosh_e, sinh_e, w_e = ew
+        # P rows for this eta point: (4, M)
+        P = jnp.stack([mT_m * cosh_e, px_m, py_m, mT_m * sinh_e])
+
+        E = jnp.dot(q["Q_E"], P, preferred_element_type=P.dtype)    # (C, M)
+        pdd = jnp.dot(q["Q_d"], P, preferred_element_type=P.dtype)
+
+        if cfg.include_shear_deltaf:
+            PP = jnp.stack([P[0] * P[0], P[1] * P[1], P[2] * P[2], P[3] * P[3],
+                            P[0] * P[1], P[0] * P[2], P[0] * P[3],
+                            P[1] * P[2], P[1] * P[3], P[2] * P[3]])
+            pim = jnp.dot(q["Q_pi"], PP, preferred_element_type=P.dtype)
+        else:
+            pim = 0.0
+
+        if cfg.include_baryon and cfg.include_baryondiff_deltaf:
+            Vp = jnp.dot(q["Q_V"], P, preferred_element_type=P.dtype)
+        else:
+            Vp = 0.0
+
+        a = E * q["invT"][:, None] - q["alphaB"][:, None] * b_m[None, :]
+        feq = 1.0 / (jnp.exp(a) + sgn_m[None, :])
+        feqbar = 1.0 - sgn_m[None, :] * feq
+
+        if cfg.df_mode == 1:
+            df = (q["shear"][:, None] * pim
+                  + q["bulk0"][:, None] * mass2_m[None, :]
+                  + (q["bulk1"][:, None] * b_m[None, :]
+                     + q["bulk2"][:, None] * E) * E)
+            if cfg.include_baryon and cfg.include_baryondiff_deltaf:
+                df = df + (q["diff0"][:, None] * b_m[None, :]
+                           + q["diff1"][:, None] * E) * Vp
+        else:
+            df = (q["shear"][:, None] * pim / E
+                  + q["bulk0"][:, None] * E
+                  + q["bulk1"][:, None] * b_m[None, :]
+                  + q["bulk2"][:, None] * (E - mass2_m[None, :] / E))
+            if cfg.include_baryon and cfg.include_baryondiff_deltaf:
+                df = df + (q["diff0"][:, None]
+                           - q["diff1"][:, None] * b_m[None, :] / E) * Vp
+        df = feqbar * df
+        if cfg.regulate_deltaf:
+            df = jnp.clip(df, -1.0, 1.0)
+        if cfg.outflow:
+            pdd = jnp.where(pdd > 0.0, pdd, 0.0)
+
+        value = pdd * (feq * (1.0 + df))                      # (C, M)
+        # cell reduction on the MXU: (1, C) . (C, M)
+        partial = jnp.dot(q["mask"][None, :], value,
+                          preferred_element_type=value.dtype)[0]
+        return acc + (w_e * partial).astype(acc_dtype), None
+
+    acc0 = jnp.zeros(M, dtype=acc_dtype)
+    cosh = jnp.cosh(eta)
+    sinh = -jnp.sinh(eta)  # y = 0: Delta = -eta
+    acc, _ = jax.lax.scan(one_eta, acc0, (cosh.astype(mT_m.dtype),
+                                          sinh.astype(mT_m.dtype),
+                                          eta_w.astype(acc_dtype)))
+    return acc
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_blocks", "acc_dtype_name"))
+def _spectra_fast_jit(per_cell: dict, mom, eta, eta_w, cfg: Config,
+                      n_blocks: int, acc_dtype_name: str):
+    acc_dtype = jnp.dtype(acc_dtype_name)
+    C_total = per_cell["invT"].shape[0]
+    blk = C_total // n_blocks
+
+    def take(a, i):
+        return jax.lax.dynamic_slice_in_dim(a, i * blk, blk, axis=0)
+
+    def body(acc, i):
+        q = {k: take(v, i) for k, v in per_cell.items()}
+        return acc + _block_fast(q, mom, eta, eta_w, cfg, acc_dtype), None
+
+    M = mom[0].shape[0]
+    acc, _ = jax.lax.scan(body, jnp.zeros(M, dtype=acc_dtype),
+                          jnp.arange(n_blocks))
+    return acc
+
+
+def compute_spectra_fast(cells: CellArrays, coeffs: dict,
+                         species: SpeciesArrays, grid: MomentumGridDevice,
+                         cfg: Config, n_blocks: int,
+                         compute_dtype=jnp.float32,
+                         acc_dtype=jnp.float64) -> jnp.ndarray:
+    """df 1/2 spectra, 2+1d, MXU-structured.  Returns (S, NpT, Nphi, 1)."""
+    if cfg.dimension != 2:
+        raise ValueError("fast path implements the 2+1d benchmark geometry")
+    if cfg.df_mode not in (1, 2):
+        raise ValueError("fast path implements df modes 1/2")
+
+    per_cell = _cell_Q(cells, coeffs, compute_dtype)
+    mom = momentum_matrix(species, grid, compute_dtype)
+    flat = _spectra_fast_jit(per_cell, mom, grid.eta, grid.eta_weight, cfg,
+                             n_blocks, jnp.dtype(acc_dtype).name)
+    S = species.mass.shape[0]
+    NpT = grid.pT.shape[0]
+    Nphi = grid.cos_phi.shape[0]
+    out = flat.reshape(S, NpT, Nphi, 1)
+    return PREFACTOR * species.degeneracy.astype(out.dtype)[:, None, None, None] * out

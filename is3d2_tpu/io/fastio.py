@@ -1,0 +1,82 @@
+"""ctypes bindings for the native I/O runtime (csrc/is3d2_io.cpp).
+
+The shared library is built on demand with g++ into the package build dir
+and cached; if no compiler is available we fall back to numpy.loadtxt
+transparently (load_table_fast keeps the same semantics).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_SRC = Path(__file__).resolve().parent.parent.parent / "csrc" / "is3d2_io.cpp"
+_LIB_DIR = Path(__file__).resolve().parent.parent / "_native"
+_LIB = _LIB_DIR / "libis3d2io.so"
+
+_lib = None
+_build_failed = False
+
+
+def _build() -> bool:
+    _LIB_DIR.mkdir(exist_ok=True)
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-pthread",
+             str(_SRC), "-o", str(_LIB)],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _get_lib():
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        if not _SRC.exists() or not _build():
+            _build_failed = True
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB))
+        lib.i3d_count_rows.restype = ctypes.c_longlong
+        lib.i3d_count_rows.argtypes = [ctypes.c_char_p,
+                                       ctypes.POINTER(ctypes.c_longlong)]
+        lib.i3d_parse.restype = ctypes.c_longlong
+        lib.i3d_parse.argtypes = [ctypes.c_char_p,
+                                  ctypes.POINTER(ctypes.c_double),
+                                  ctypes.c_longlong]
+        _lib = lib
+    except OSError:
+        _build_failed = True
+    return _lib
+
+
+def load_table_fast(path: str | Path) -> np.ndarray:
+    """Parse a whitespace-separated numeric table -> (rows, cols) f64 array.
+
+    Uses the threaded native parser when available, numpy.loadtxt otherwise.
+    """
+    lib = _get_lib()
+    path = str(path)
+    if lib is None:
+        return np.loadtxt(path, dtype=np.float64, ndmin=2)
+
+    n_cols = ctypes.c_longlong(0)
+    n_rows = lib.i3d_count_rows(path.encode(), ctypes.byref(n_cols))
+    if n_rows <= 0 or n_cols.value <= 0:
+        return np.loadtxt(path, dtype=np.float64, ndmin=2)
+
+    capacity = n_rows * n_cols.value
+    out = np.empty(capacity, dtype=np.float64)
+    n = lib.i3d_parse(path.encode(),
+                      out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                      capacity)
+    if n != capacity:
+        # ragged or unexpected token count -> robust fallback
+        return np.loadtxt(path, dtype=np.float64, ndmin=2)
+    return out.reshape(n_rows, n_cols.value)

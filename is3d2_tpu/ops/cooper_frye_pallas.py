@@ -1,0 +1,166 @@
+"""Pallas TPU kernel for the fused Cooper-Frye reduction (df 1/2, 2+1d).
+
+Replaces the CUDA thread/block tree-reduction kernels of the reference
+(emissionfunction.cu:152-451, 1686-1719) with a single fused kernel:
+
+  grid = (m tiles, cell tiles); each program holds a (C_t, 16) per-cell
+  coefficient tile and an (8, M_t) momentum tile in VMEM, loops the eta
+  quadrature, forms the contractions
+
+      E   = Q_E  . P16     (u.p)
+      pdd = Q_d  . P16     (p.dsigma, cell mask folded in)
+      pim = Q_pi . P16     (pi^munu p_mu p_nu; P16 rows 4..13 are quadratics)
+      Vp  = Q_V  . P16     (V.p)
+
+  on the MXU, runs the delta-f chain on the VPU entirely in registers/VMEM,
+  and reduces over the cell tile with a ones-row matmul.  Each (m, cell)
+  program writes its own partial slab; the host sums the small (n_cell_tiles,
+  M) output in f64, so precision matches the XLA fast path (f32 compute, f64
+  accumulation).
+
+P16 row layout: [m1, px, py, m4, m1m1, pxpx, pypy, m4m4, m1px, m1py, m1m4,
+pxpy, pxm4, pym4, 0, 0] with m1 = mT cosh(y-eta), m4 = mT sinh(y-eta).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import Config
+from .spectra_fast_common import pack_inputs  # noqa: F401  (re-export helper)
+
+
+def _kernel(q_ref, cols_ref, mom_ref, eta_ref, out_ref, *, cfg: Config,
+            n_eta: int):
+    """q_ref: (C_t, 64) stacked [Q_E(16) | Q_d(16) | Q_pi(16) | Q_V(16)]
+    cols_ref: (C_t, 16) per-cell scalars
+      [invT, alphaB, shear, bulk0, bulk1, bulk2, diff0, diff1, mask, ...]
+    mom_ref: (8, M_t) [mT, px, py, mass2, baryon, sign, 0, 0]
+    eta_ref: (8, n_eta_pad) [cosh, sinh, weight, ...]
+    out_ref: (1, M_t) partial spectra for this (m, cell) tile pair
+    """
+    C_t = cols_ref.shape[0]
+    M_t = mom_ref.shape[1]
+    f32 = jnp.float32
+
+    mT = mom_ref[0:1, :]
+    px = mom_ref[1:2, :]
+    py = mom_ref[2:3, :]
+    mass2 = mom_ref[3:4, :]
+    b_m = mom_ref[4:5, :]
+    sgn = mom_ref[5:6, :]
+
+    invT = cols_ref[:, 0:1]
+    alphaB = cols_ref[:, 1:2]
+    shear_c = cols_ref[:, 2:3]
+    bulk0 = cols_ref[:, 3:4]
+    bulk1 = cols_ref[:, 4:5]
+    bulk2 = cols_ref[:, 5:6]
+    diff0 = cols_ref[:, 6:7]
+    diff1 = cols_ref[:, 7:8]
+    mask = cols_ref[:, 8:9]
+
+    Q_E = q_ref[:, 0:16]
+    Q_d = q_ref[:, 16:32]
+    Q_pi = q_ref[:, 32:48]
+    Q_V = q_ref[:, 48:64]
+
+    zeros_row = jnp.zeros((1, M_t), f32)
+
+    def eta_body(e, acc):
+        cosh_e = eta_ref[0, e]
+        sinh_e = eta_ref[1, e]
+        w_e = eta_ref[2, e]
+
+        m1 = mT * cosh_e
+        m4 = mT * sinh_e
+        P16 = jnp.concatenate([
+            m1, px, py, m4,
+            m1 * m1, px * px, py * py, m4 * m4,
+            m1 * px, m1 * py, m1 * m4, px * py, px * m4, py * m4,
+            zeros_row, zeros_row,
+        ], axis=0)                                        # (16, M_t)
+
+        E = jnp.dot(Q_E, P16, preferred_element_type=f32)   # (C_t, M_t)
+        pdd = jnp.dot(Q_d, P16, preferred_element_type=f32)
+        if cfg.include_shear_deltaf:
+            pim = jnp.dot(Q_pi, P16, preferred_element_type=f32)
+        else:
+            pim = 0.0
+        if cfg.include_baryon and cfg.include_baryondiff_deltaf:
+            Vp = jnp.dot(Q_V, P16, preferred_element_type=f32)
+        else:
+            Vp = 0.0
+
+        a = E * invT - alphaB * b_m
+        feq = 1.0 / (jnp.exp(a) + sgn)
+        feqbar = 1.0 - sgn * feq
+
+        if cfg.df_mode == 1:
+            df = shear_c * pim + bulk0 * mass2 + (bulk1 * b_m + bulk2 * E) * E
+            if cfg.include_baryon and cfg.include_baryondiff_deltaf:
+                df = df + (diff0 * b_m + diff1 * E) * Vp
+        else:
+            df = (shear_c * pim / E + bulk0 * E + bulk1 * b_m
+                  + bulk2 * (E - mass2 / E))
+            if cfg.include_baryon and cfg.include_baryondiff_deltaf:
+                df = df + (diff0 - diff1 * b_m / E) * Vp
+        df = feqbar * df
+        if cfg.regulate_deltaf:
+            df = jnp.clip(df, -1.0, 1.0)
+        if cfg.outflow:
+            pdd = jnp.where(pdd > 0.0, pdd, 0.0)
+
+        value = pdd * (feq * (1.0 + df))                   # (C_t, M_t)
+        partial = jnp.dot(mask.reshape(1, C_t), value,
+                          preferred_element_type=f32)      # (1, M_t)
+        return acc + w_e * partial
+
+    acc = jax.lax.fori_loop(0, n_eta, eta_body, jnp.zeros((1, M_t), f32))
+    out_ref[...] = acc
+
+
+def cooper_frye_pallas(q, cols, mom, eta_pack, cfg: Config,
+                       c_tile: int = 256, m_tile: int = 512,
+                       n_eta: int | None = None,
+                       interpret: bool = False):
+    """Run the fused kernel.
+
+    q: (C, 64), cols: (C, 16), mom: (8, M), eta_pack: (8, n_eta_pad)
+    (all f32; C % c_tile == 0, M % m_tile == 0).
+    Returns (M,) f64 spectra partials summed over all cells.
+    """
+    C = q.shape[0]
+    M = mom.shape[1]
+    assert C % c_tile == 0 and M % m_tile == 0
+    n_c = C // c_tile
+    n_m = M // m_tile
+    if n_eta is None:
+        n_eta = int(eta_pack.shape[1])
+
+    out = pl.pallas_call(
+        partial(_kernel, cfg=cfg, n_eta=n_eta),
+        out_shape=jax.ShapeDtypeStruct((n_c, M), jnp.float32),
+        grid=(n_m, n_c),
+        in_specs=[
+            pl.BlockSpec((c_tile, 64), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_tile, 16), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, m_tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, eta_pack.shape[1]), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, m_tile), lambda i, j: (j, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(q, cols, mom, eta_pack)
+
+    return jnp.sum(out.astype(jnp.float64), axis=0)

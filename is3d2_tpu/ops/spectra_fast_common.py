@@ -1,0 +1,125 @@
+"""Input packing shared by the Pallas Cooper-Frye kernel.
+
+Builds the dense f32 operand layout consumed by ops/cooper_frye_pallas.py
+from the validated CellArrays / coefficient columns / momentum grid:
+
+  q    (C, 64) : [Q_E | Q_d (mask folded) | Q_pi | Q_V], 16 columns each,
+                 contraction coefficients against the P16 momentum rows
+  cols (C, 16) : per-cell scalars (invT, alphaB, df columns, mask)
+  mom  (8, M)  : per-momentum-point rows (mT, px, py, mass^2, baryon, sign)
+  eta  (8, Ne) : (cosh eta, -sinh eta, weight) quadrature rows
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..core.cells import CellArrays
+from ..core.spectra import PREFACTOR, MomentumGridDevice, SpeciesArrays
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pack_inputs(cells: CellArrays, coeffs: dict, species: SpeciesArrays,
+                grid: MomentumGridDevice, cfg: Config,
+                c_tile: int = 256, m_tile: int = 512):
+    f32 = jnp.float32
+    c = cells
+    C = c.n_padded
+    C_pad = _round_up(C, c_tile)
+    tau = c.tau
+    tau2 = tau * tau
+
+    def pad_c(a, fill=0.0):
+        a = jnp.asarray(a, f32)
+        return jnp.pad(a, (0, C_pad - C), constant_values=fill)
+
+    zero = jnp.zeros(C_pad, f32)
+    one = jnp.ones(C_pad, f32)
+
+    def stack16(cols_list):
+        cols_list = list(cols_list) + [zero] * (16 - len(cols_list))
+        return jnp.stack(cols_list, axis=1)
+
+    mask = pad_c(c.mask)
+    Q_E = stack16([pad_c(c.ut), pad_c(-c.ux), pad_c(-c.uy), pad_c(-tau * c.un)])
+    Q_d = stack16([pad_c(c.dat) * mask, pad_c(c.dax) * mask,
+                   pad_c(c.day) * mask, pad_c(c.dan / tau) * mask])
+    Q_pi = jnp.concatenate([
+        jnp.zeros((C_pad, 4), f32),
+        jnp.stack([pad_c(c.pitt), pad_c(c.pixx), pad_c(c.piyy),
+                   pad_c(tau2 * c.pinn), pad_c(-2.0 * c.pitx),
+                   pad_c(-2.0 * c.pity), pad_c(-2.0 * tau * c.pitn),
+                   pad_c(2.0 * c.pixy), pad_c(2.0 * tau * c.pixn),
+                   pad_c(2.0 * tau * c.piyn)], axis=1),
+        jnp.zeros((C_pad, 2), f32),
+    ], axis=1)
+    Q_V = stack16([pad_c(c.Vt), pad_c(-c.Vx), pad_c(-c.Vy), pad_c(-tau * c.Vn)])
+    q = jnp.concatenate([Q_E, Q_d, Q_pi, Q_V], axis=1)          # (C_pad, 64)
+
+    cols = stack16([pad_c(1.0 / c.T, 1.0), pad_c(c.alphaB),
+                    pad_c(coeffs["shear"]), pad_c(coeffs["bulk0"]),
+                    pad_c(coeffs["bulk1"]), pad_c(coeffs["bulk2"]),
+                    pad_c(coeffs["diff0"]), pad_c(coeffs["diff1"]),
+                    one])  # final mask column is all-ones: mask folded in Q_d
+
+    # momentum rows
+    mT = jnp.sqrt(species.mass[:, None] ** 2 + grid.pT[None, :] ** 2)
+    S, NpT = mT.shape
+    Nphi = grid.cos_phi.shape[0]
+    M = S * NpT * Nphi
+    M_pad = _round_up(M, m_tile)
+
+    def flat(a):
+        return jnp.broadcast_to(a, (S, NpT, Nphi)).reshape(M)
+
+    def pad_m(a, fill):
+        return jnp.pad(jnp.asarray(a, f32), (0, M_pad - M), constant_values=fill)
+
+    mom = jnp.stack([
+        pad_m(flat(mT[:, :, None]), 1.0),
+        pad_m(flat((grid.pT[:, None] * grid.cos_phi[None, :])[None]), 0.0),
+        pad_m(flat((grid.pT[:, None] * grid.sin_phi[None, :])[None]), 0.0),
+        pad_m(flat((species.mass ** 2)[:, None, None]), 1.0),
+        pad_m(flat(species.baryon[:, None, None]), 0.0),
+        pad_m(flat(species.sign[:, None, None]), -1.0),
+        jnp.zeros(M_pad, f32),
+        jnp.zeros(M_pad, f32),
+    ])
+
+    Ne = grid.eta.shape[0]
+    Ne_pad = _round_up(max(Ne, 1), 128)
+    eta_pack = jnp.zeros((8, Ne_pad), f32)
+    eta_pack = eta_pack.at[0, :Ne].set(jnp.cosh(grid.eta).astype(f32))
+    eta_pack = eta_pack.at[1, :Ne].set((-jnp.sinh(grid.eta)).astype(f32))
+    eta_pack = eta_pack.at[2, :Ne].set(grid.eta_weight.astype(f32))
+
+    return q, cols, mom, eta_pack, M, Ne
+
+
+def compute_spectra_pallas(cells: CellArrays, coeffs: dict,
+                           species: SpeciesArrays, grid: MomentumGridDevice,
+                           cfg: Config, c_tile: int = 256, m_tile: int = 512,
+                           interpret: bool = False):
+    """Full Pallas spectra: returns (S, NpT, Nphi, 1) f64."""
+    from .cooper_frye_pallas import cooper_frye_pallas
+
+    if cfg.dimension != 2:
+        raise ValueError("pallas kernel implements the 2+1d benchmark geometry")
+    if cfg.df_mode not in (1, 2):
+        raise ValueError("pallas kernel implements df modes 1/2")
+
+    q, cols, mom, eta_pack, M, Ne = pack_inputs(cells, coeffs, species, grid,
+                                                cfg, c_tile, m_tile)
+    flat = cooper_frye_pallas(q, cols, mom, eta_pack, cfg,
+                              c_tile=c_tile, m_tile=m_tile, n_eta=Ne,
+                              interpret=interpret)[:M]
+    S = species.mass.shape[0]
+    NpT = grid.pT.shape[0]
+    Nphi = grid.cos_phi.shape[0]
+    out = flat.reshape(S, NpT, Nphi, 1)
+    return PREFACTOR * species.degeneracy.astype(out.dtype)[:, None, None, None] * out

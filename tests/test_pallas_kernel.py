@@ -1,0 +1,53 @@
+"""Pallas Cooper-Frye kernel vs the validated XLA paths (interpret mode on CPU)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+from surfgen import make_surface
+
+from is3d2_tpu.config import Config
+from is3d2_tpu.io.pdg import read_pdg
+from is3d2_tpu.io.tables import MomentumGrids, load_table
+from is3d2_tpu.io.deltaf_tables import DeltafTables
+from is3d2_tpu.physics.deltaf import DeltafData
+from is3d2_tpu.core.cells import prepare_cells
+from is3d2_tpu.core.spectra import (SpeciesArrays, MomentumGridDevice,
+                                    compute_spectra, df12_cell_coefficients)
+from is3d2_tpu.ops.spectra_fast_common import compute_spectra_pallas
+
+PIKP = (111, 321, 2212, 2112, -2212, -2112)
+
+
+@pytest.mark.parametrize("df_mode", [1, 2])
+def test_pallas_kernel_matches_reference_path(reference_dir, df_mode):
+    species_t = read_pdg(3, reference_dir / "PDG")
+    grids = MomentumGrids.from_dir(reference_dir / "tables")
+    phi48 = load_table(reference_dir / "tables/all_tables/phi/phi_gauss_table_48pt.dat")
+    grids.phi, grids.phi_weight = phi48[:, 0], phi48[:, 1]
+    tables = DeltafTables.load(3, include_baryon=False,
+                               base_dir=reference_dir / "deltaf_coefficients/vh")
+    surf = make_surface(48, seed=29, shear_scale=0.03, bulk_scale=0.01)
+    cfg = Config(operation=1, df_mode=df_mode, hrg_eos=3,
+                 include_shear_deltaf=1, include_bulk_deltaf=1, cell_block=64)
+    df_data = DeltafData(tables, df_mode, include_baryon=False)
+    chosen = species_t.chosen_indices(PIKP)
+
+    ref = compute_spectra(surf, species_t, chosen, grids, df_data, cfg)
+
+    cells = prepare_cells(surf, cfg, block=64)
+    coeffs = df12_cell_coefficients(cells, df_data, cfg)
+    species = SpeciesArrays.from_table(species_t, chosen)
+    grid = MomentumGridDevice.from_grids(grids, cfg.dimension)
+
+    out = np.asarray(compute_spectra_pallas(cells, coeffs, species, grid, cfg,
+                                            c_tile=32, m_tile=256,
+                                            interpret=True))
+    scale = np.abs(ref).max()
+    sig = np.abs(ref) > 1e-10 * scale
+    err = (np.abs(out - ref) / np.maximum(np.abs(ref), 1e-300))[sig].max()
+    assert err < 5e-5, f"pallas kernel err {err:.2e}"  # f32 compute tolerance

@@ -9,6 +9,9 @@ entry per freezeout cell) in iS3D's internal units:
   muB [GeV]; nB [fm^-3]; V^mu [fm^-3(4)]; thermal vorticity wbar^munu.
 
 Supported formats (``mode``):
+  0     : legacy GPU-VH with u^t column and full pi tensor
+          (CUDA-only in the reference, readindata.cu:147-318; the bundled
+          input/surface.dat is in this format)
   1 / 5 : CPU VH (or VAH), raw hbar=1 units     (readindata.cpp:167-367)
   6     : MUSIC public, tau-scaled columns      (readindata.cpp:372-567)
   7     : HIC-EventGen, 2+1d velocity columns   (readindata.cpp:570-729)
@@ -131,6 +134,39 @@ def _enforce_boost_invariance(s: SurfaceData) -> None:
     s.eta[:] = 0.0
 
 
+def _read_vh_old(cols: np.ndarray, include_baryon: bool,
+                 include_baryondiff: bool) -> SurfaceData:
+    """Legacy GPU-VH format (readindata.cu:147-318): explicit u^t column and
+    the full 10-component shear tensor; we keep the 5 independent components
+    (the engines re-complete the rest from orthogonality/tracelessness)."""
+    n = cols.shape[0]
+    s = SurfaceData.zeros(n)
+    s.tau, s.x, s.y, s.eta = cols[:, 0], cols[:, 1], cols[:, 2], cols[:, 3]
+    s.dat, s.dax, s.day, s.dan = cols[:, 4], cols[:, 5], cols[:, 6], cols[:, 7]
+    # col 8 is u^t (recomputed from normalization internally)
+    s.ux, s.uy, s.un = cols[:, 9], cols[:, 10], cols[:, 11]
+    s.E = cols[:, 12] * hbarC
+    s.T = cols[:, 13] * hbarC
+    s.P = cols[:, 14] * hbarC
+    # full pi tensor: pitt pitx pity pitn pixx pixy pixn piyy piyn pinn
+    s.pixx = cols[:, 19] * hbarC
+    s.pixy = cols[:, 20] * hbarC
+    s.pixn = cols[:, 21] * hbarC
+    s.piyy = cols[:, 22] * hbarC
+    s.piyn = cols[:, 23] * hbarC
+    s.bulkPi = cols[:, 25] * hbarC
+    c = 26
+    if include_baryon:
+        s.muB = cols[:, c] * hbarC
+        c += 1
+    if include_baryondiff:
+        s.nB = cols[:, c]
+        s.Vx = cols[:, c + 2]
+        s.Vy = cols[:, c + 3]
+        s.Vn = cols[:, c + 4]
+    return s
+
+
 def _read_cpu_vh(cols: np.ndarray, mode: int, include_baryon: bool) -> SurfaceData:
     n = cols.shape[0]
     s = SurfaceData.zeros(n)
@@ -231,7 +267,9 @@ def read_surface(path: str | Path, mode: int, dimension: int,
     cell with operator>>, readindata.cpp:219-352).
     """
     cols = np.loadtxt(path, dtype=np.float64, ndmin=2)
-    if mode in (1, 5):
+    if mode == 0:
+        s = _read_vh_old(cols, include_baryon, include_baryon)
+    elif mode in (1, 5):
         s = _read_cpu_vh(cols, mode, include_baryon)
     elif mode == 6:
         s = _read_music(cols, include_baryon)
@@ -242,7 +280,7 @@ def read_surface(path: str | Path, mode: int, dimension: int,
             raise ValueError("HIC-EventGen has no baryon chemical potential (set include_baryon = 0)")
         s = _read_hic_eventgen(cols)
     else:
-        raise ValueError(f"unknown surface mode {mode}")
+        raise ValueError(f"unknown surface mode {mode} (supported: 0,1,5,6,7)")
     if dimension == 2:
         _enforce_boost_invariance(s)
     return s

@@ -119,6 +119,20 @@ def test_surface_reader_single_cell(reference_dir):
     assert avg.temperature == pytest.approx(1.40186 * hbarC)
 
 
+def test_surface_reader_mode0_legacy(reference_dir):
+    # the bundled single-cell surface is really in the legacy GPU-VH format
+    # (explicit u^t column, full pi tensor): mode 0 parses it physically
+    s = read_surface(reference_dir / "input/surface.dat", mode=0, dimension=2,
+                     include_baryon=False)
+    assert s.n_cells == 1
+    assert s.ux[0] == 0.0 and s.uy[0] == 0.0 and s.un[0] == 0.0
+    assert s.E[0] == pytest.approx(1.40186 * hbarC)   # 0.277 GeV/fm^3
+    assert s.T[0] == pytest.approx(0.760295 * hbarC)  # 0.150 GeV
+    assert s.P[0] == pytest.approx(0.20914 * hbarC)
+    # static box: uds = 100, ds.ds = 100^2 -> ds_max = |uds| + 0 = 100
+    assert s.ds_max()[0] == pytest.approx(100.0)
+
+
 def test_deltaf_tables(reference_dir):
     t = DeltafTables.load(3, include_baryon=False,
                           base_dir=reference_dir / "deltaf_coefficients/vh")

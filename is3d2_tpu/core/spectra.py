@@ -293,7 +293,22 @@ def compute_spectra(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
 
     if cfg.df_mode in (1, 2):
         coeffs = df12_cell_coefficients(cells, df_data, cfg)
-        out = _spectra_df12_jit(cells, coeffs, species, grid, cfg, n_blocks)
+        if cfg.use_pallas and cfg.dimension == 2:
+            # fused Pallas kernel (f32 compute, f64 accumulation)
+            from ..ops.spectra_fast_common import compute_spectra_pallas
+            out = compute_spectra_pallas(cells, coeffs, species, grid, cfg)
+        elif cfg.compute_dtype == "f32" and cfg.dimension == 2:
+            # MXU-structured fast path (f32 compute, f64 accumulation)
+            from .spectra_fast import compute_spectra_fast
+            import jax.numpy as _jnp
+            S_count = len(chosen_idx)
+            n_sp_blocks = next(b for b in (8, 4, 2, 1) if S_count % b == 0)
+            out = compute_spectra_fast(cells, coeffs, species, grid, cfg,
+                                       n_blocks=n_blocks,
+                                       compute_dtype=_jnp.float32,
+                                       n_species_blocks=n_sp_blocks)
+        else:
+            out = _spectra_df12_jit(cells, coeffs, species, grid, cfg, n_blocks)
     elif cfg.df_mode in (3, 4):
         from .spectra_feqmod import compute_spectra_feqmod
         out = compute_spectra_feqmod(cells, species, grid, df_data, cfg,

@@ -43,7 +43,9 @@ def _kernel(q_ref, cols_ref, mom_ref, eta_ref, out_ref, *, cfg: Config,
       [invT, alphaB, shear, bulk0, bulk1, bulk2, diff0, diff1, mask, ...]
     mom_ref: (8, M_t) [mT, px, py, mass2, baryon, sign, 0, 0]
     eta_ref: (8, n_eta_pad) [cosh, sinh, weight, ...]
-    out_ref: (1, M_t) partial spectra for this (m, cell) tile pair
+    out_ref: (8, M_t) accumulator; cell-tile i_c accumulates into row i_c % 8
+      (the same out block is revisited for consecutive cell tiles; the host
+      sums the 8 rows in f64, preserving short f32 accumulation chains)
     """
     C_t = cols_ref.shape[0]
     M_t = mom_ref.shape[1]
@@ -123,7 +125,15 @@ def _kernel(q_ref, cols_ref, mom_ref, eta_ref, out_ref, *, cfg: Config,
         return acc + w_e * partial
 
     acc = jax.lax.fori_loop(0, n_eta, eta_body, jnp.zeros((1, M_t), f32))
-    out_ref[...] = acc
+
+    i_c = pl.program_id(1)
+    row = i_c % 8
+
+    @pl.when(i_c == 0)
+    def _zero():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[pl.ds(row, 1), :] = out_ref[pl.ds(row, 1), :] + acc
 
 
 def cooper_frye_pallas(q, cols, mom, eta_pack, cfg: Config,
@@ -146,7 +156,7 @@ def cooper_frye_pallas(q, cols, mom, eta_pack, cfg: Config,
 
     out = pl.pallas_call(
         partial(_kernel, cfg=cfg, n_eta=n_eta),
-        out_shape=jax.ShapeDtypeStruct((n_c, M), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((8, M), jnp.float32),
         grid=(n_m, n_c),
         in_specs=[
             pl.BlockSpec((c_tile, 64), lambda i, j: (j, 0),
@@ -158,7 +168,7 @@ def cooper_frye_pallas(q, cols, mom, eta_pack, cfg: Config,
             pl.BlockSpec((8, eta_pack.shape[1]), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, m_tile), lambda i, j: (j, i),
+        out_specs=pl.BlockSpec((8, m_tile), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(q, cols, mom, eta_pack)

@@ -87,9 +87,31 @@ def _pad(a: np.ndarray, n_pad: int, fill: float = 0.0) -> np.ndarray:
     return np.concatenate([a, np.full(n_pad, fill, dtype=a.dtype)])
 
 
+def _cpu_device():
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return None
+
+
 def prepare_cells(surf: SurfaceData, cfg: Config,
                   block: int | None = None) -> CellArrays:
-    """Build padded device arrays from a surface."""
+    """Build padded per-cell arrays from a surface.
+
+    All preparation math runs on the host CPU backend (tiny data; on the
+    remote-TPU tunnel each small op would otherwise pay a ~second-scale
+    compile round trip) — the arrays transfer to the accelerator when the
+    compute kernels consume them.
+    """
+    cpu = _cpu_device()
+    if cpu is not None:
+        with jax.default_device(cpu):
+            return _prepare_cells_impl(surf, cfg, block)
+    return _prepare_cells_impl(surf, cfg, block)
+
+
+def _prepare_cells_impl(surf: SurfaceData, cfg: Config,
+                        block: int | None = None) -> CellArrays:
     n = surf.n_cells
     block = block or cfg.cell_block
     n_padded = ((n + block - 1) // block) * block

@@ -232,7 +232,17 @@ def _scan_blocks(block_fn, cells: CellArrays, coeffs: dict, n_blocks: int,
 def df12_cell_coefficients(cells: CellArrays, df_data: DeltafData,
                            cfg: Config) -> dict:
     """Per-cell shear/bulk/diffusion coefficient columns
-    (MomentumSpectra.cpp:213-246)."""
+    (MomentumSpectra.cpp:213-246).  Runs on the host CPU backend (tiny)."""
+    from .cells import _cpu_device
+    cpu = _cpu_device()
+    if cpu is not None:
+        with jax.default_device(cpu):
+            return _df12_cell_coefficients_impl(cells, df_data, cfg)
+    return _df12_cell_coefficients_impl(cells, df_data, cfg)
+
+
+def _df12_cell_coefficients_impl(cells: CellArrays, df_data: DeltafData,
+                                 cfg: Config) -> dict:
     df = evaluate_cell_deltaf(cells, df_data, cfg)
     T = cells.T
     bulkPi = cells.bulkPi

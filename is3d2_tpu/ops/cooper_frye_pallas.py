@@ -127,13 +127,17 @@ def _kernel(q_ref, cols_ref, mom_ref, eta_ref, out_ref, *, cfg: Config,
     acc = jax.lax.fori_loop(0, n_eta, eta_body, jnp.zeros((1, M_t), f32))
 
     i_c = pl.program_id(1)
-    row = i_c % 8
+    row = jax.lax.rem(i_c, jnp.int32(8))
 
     @pl.when(i_c == 0)
     def _zero():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    out_ref[pl.ds(row, 1), :] = out_ref[pl.ds(row, 1), :] + acc
+    # masked full-block add: Mosaic cannot prove alignment of a dynamic
+    # sublane slice, so select the target row with an iota comparison instead
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (8, M_t), 0)
+    sel = (row_ids == row).astype(f32)
+    out_ref[...] = out_ref[...] + sel * acc
 
 
 def cooper_frye_pallas(q, cols, mom, eta_pack, cfg: Config,
@@ -165,8 +169,10 @@ def cooper_frye_pallas(q, cols, mom, eta_pack, cfg: Config,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, m_tile), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
+            # scalar eta tables live in SMEM: the kernel reads them with a
+            # dynamic loop index, which VMEM lane indexing cannot do
             pl.BlockSpec((8, eta_pack.shape[1]), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((8, m_tile), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),

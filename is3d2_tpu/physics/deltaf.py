@@ -70,15 +70,16 @@ class DeltafData:
             self._betaV = CubicSpline(t.T_grid, t.betaV[0])
             self._betapi = CubicSpline(t.T_grid, t.betapi[0])
         else:
-            self._grids = {name: jnp.asarray(getattr(t, name))
+            # host numpy (see physics/spline.py note on device placement)
+            self._grids = {name: np.asarray(getattr(t, name))
                            for name in ("c0", "c1", "c2", "c3", "c4",
                                         "F", "G", "betabulk", "betaV", "betapi")}
             self._T_min = float(t.T_grid[0])
             self._muB_min = float(t.muB_grid[0])
             self._dT = float(abs(t.T_grid[1] - t.T_grid[0]))
             self._dmuB = float(abs(t.muB_grid[1] - t.muB_grid[0])) if t.points_muB > 1 else 1.0
-            self._T_grid = jnp.asarray(t.T_grid)
-            self._muB_grid = jnp.asarray(t.muB_grid)
+            self._T_grid = np.asarray(t.T_grid)
+            self._muB_grid = np.asarray(t.muB_grid)
 
         # PTB splines, set by compute_jonah_coefficients
         self._lambda_squared_spline: CubicSpline | None = None

@@ -50,11 +50,14 @@ class CubicSpline:
         b = np.diff(y) / h - h * (c[1:] + 2.0 * c[:-1]) / 3.0
         d = np.diff(c) / (3.0 * h)
 
-        self.x = jnp.asarray(x)
-        self.y = jnp.asarray(y)
-        self.b = jnp.asarray(b)
-        self.c = jnp.asarray(c[:-1])
-        self.d = jnp.asarray(d)
+        # keep coefficients as host numpy: jnp ops lift them onto whatever
+        # device the query lives on (device constants would otherwise pin
+        # evaluation to the accelerator even for host-side setup math)
+        self.x = x
+        self.y = y
+        self.b = b
+        self.c = c[:-1].copy()
+        self.d = d
 
     def __call__(self, xq):
         """Evaluate at xq (any shape).  Out-of-range queries are clamped to

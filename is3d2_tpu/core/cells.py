@@ -87,11 +87,7 @@ def _pad(a: np.ndarray, n_pad: int, fill: float = 0.0) -> np.ndarray:
     return np.concatenate([a, np.full(n_pad, fill, dtype=a.dtype)])
 
 
-def _cpu_device():
-    try:
-        return jax.local_devices(backend="cpu")[0]
-    except RuntimeError:
-        return None
+from ..utils import cpu_device as _cpu_device, host_prep  # noqa: F401
 
 
 def prepare_cells(surf: SurfaceData, cfg: Config,

@@ -25,6 +25,7 @@ from ..io.tables import GaussLaguerre
 from ..physics import lrf, thermal
 from ..physics.deltaf import DeltafData, DeltafCoefficients
 from .cells import CellArrays
+from ..utils import host_prep
 from .spectra import SpeciesArrays
 
 
@@ -103,6 +104,7 @@ def pion0_density_negative(T, bulkPi, F, betabulk, mass_pion0, laguerre):
     return (neq + dn) < 0.0
 
 
+@host_prep
 def prepare_feqmod(cells: CellArrays, species: SpeciesArrays,
                    df_data: DeltafData, cfg: Config,
                    laguerre: GaussLaguerre) -> FeqmodCellData:

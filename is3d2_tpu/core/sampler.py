@@ -39,6 +39,7 @@ from ..io.tables import GaussLaguerre
 from ..physics import lrf, thermal
 from ..physics.deltaf import DeltafData
 from .cells import CellArrays, prepare_cells
+from ..utils import host_prep
 from .feqmod import prepare_feqmod, FeqmodCellData
 from .spectra import SpeciesArrays
 
@@ -144,6 +145,7 @@ def _exact_rates(cells, species: SpeciesArrays, fq, df, cfg, laguerre):
     raise ValueError("exact rates support df_mode 1-4")
 
 
+@host_prep
 def prepare_sampler(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
                     df_data: DeltafData, cfg: Config, laguerre: GaussLaguerre,
                     block: int | None = None) -> tuple[SamplerSetup, SpeciesArrays]:
@@ -229,6 +231,7 @@ def prepare_sampler(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
 # total yield & event count
 # ----------------------------------------------------------------------
 
+@host_prep
 def compute_total_yield(surf, species_table: SpeciesTable, chosen_idx,
                         df_data: DeltafData, cfg: Config,
                         laguerre: GaussLaguerre) -> float:

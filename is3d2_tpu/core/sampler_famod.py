@@ -19,11 +19,13 @@ from ..io.pdg import SpeciesTable
 from ..physics import lrf
 from ..physics.aniso import aniso_density_integral
 from .cells import prepare_cells
+from ..utils import host_prep
 from .spectra import SpeciesArrays
 from .spectra_famod import prepare_famod
 from .sampler import SamplerSetup
 
 
+@host_prep
 def prepare_sampler_famod(surf, species_table: SpeciesTable, chosen_idx,
                           cfg: Config, block: int | None = None):
     cells_cfg = dataclasses.replace(cfg, include_shear_deltaf=1,

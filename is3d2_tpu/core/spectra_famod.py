@@ -22,6 +22,7 @@ from ..physics import lrf
 from ..physics.aniso import (find_anisotropic_variables,
                              compute_famod_coefficients)
 from .cells import CellArrays
+from ..utils import host_prep
 from .spectra import PREFACTOR, MomentumGridDevice, SpeciesArrays
 
 
@@ -64,6 +65,7 @@ def reconstruction_species(table: SpeciesTable, max_species: int = 320):
             jnp.asarray(table.gspin[:n]))
 
 
+@host_prep
 def prepare_famod(cells: CellArrays, species_table: SpeciesTable,
                   cfg: Config) -> FamodCellData:
     c = cells

@@ -95,15 +95,23 @@ class IS3D:
     def run_particlization(self, fo_from_file: bool = True,
                            write: bool = True) -> None:
         cfg = self.cfg
+        print(f"is3d2_tpu particlization: operation={cfg.operation} "
+              f"df_mode={cfg.df_mode} hrg_eos={cfg.hrg_eos} "
+              f"dimension={cfg.dimension}", flush=True)
         if fo_from_file or self.surface is None:
             self.load_surface_from_file()
+        print(f"surface: {self.surface.n_cells} cells", flush=True)
         t0 = time.time()
         self._setup()
+        print(f"setup done ({time.time() - t0:.1f}s): "
+              f"{len(self.species)} species, {len(self.chosen_idx)} chosen, "
+              f"T_avg = {self.plasma.temperature:.4f} GeV", flush=True)
 
         results = self.workdir / "results"
         mcids = [int(self.species.mc_id[i]) for i in self.chosen_idx]
 
         if cfg.operation == 0:
+            print("computing spacetime distributions dN/dX ...", flush=True)
             dX = compute_dN_dX(self.surface, self.species, self.chosen_idx,
                                self.grids, self.df_data, cfg, self.laguerre)
             self.dN_dX = dX
@@ -111,6 +119,7 @@ class IS3D:
                 output.write_dN_dX(results, mcids, dX, cfg)
 
         elif cfg.operation == 1:
+            print("computing continuous momentum spectra ...", flush=True)
             spectra = compute_spectra(self.surface, self.species,
                                       self.chosen_idx, self.grids,
                                       self.df_data, cfg, self.laguerre)

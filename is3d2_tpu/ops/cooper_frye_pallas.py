@@ -66,7 +66,7 @@ def _kernel(q_ref, cols_ref, mom_ref, eta_ref, out_ref, *, cfg: Config,
     bulk2 = cols_ref[:, 5:6]
     diff0 = cols_ref[:, 6:7]
     diff1 = cols_ref[:, 7:8]
-    mask = cols_ref[:, 8:9]
+    # col 8 (all-ones) reserved; mask folded into Q_d
 
     Q_E = q_ref[:, 0:16]
     Q_d = q_ref[:, 16:32]
@@ -120,7 +120,12 @@ def _kernel(q_ref, cols_ref, mom_ref, eta_ref, out_ref, *, cfg: Config,
             pdd = jnp.where(pdd > 0.0, pdd, 0.0)
 
         value = pdd * (feq * (1.0 + df))                   # (C_t, M_t)
-        partial = jnp.dot(mask.reshape(1, C_t), value,
+        # cell reduction on the MXU; the u.dsigma/padding mask is already
+        # folded into Q_d (pdd = 0 on dead cells), so a constant ones row
+        # suffices (a reshape of the mask column would be a lane<->sublane
+        # transpose, which Mosaic does not support)
+        ones_row = jnp.ones((1, C_t), f32)
+        partial = jnp.dot(ones_row, value,
                           preferred_element_type=f32)      # (1, M_t)
         return acc + w_e * partial
 

@@ -22,6 +22,7 @@ from ..io.deltaf_tables import DeltafTables
 from ..io.pdg import SpeciesTable
 from ..io.tables import GaussLaguerre
 from ..io.surface import ThermoAverages
+from ..utils import host_prep
 from .spline import CubicSpline
 from . import thermal
 
@@ -87,6 +88,7 @@ class DeltafData:
         self.bulkPi_over_Peq_max: float = -1.0
 
     # ------------------------------------------------------------------
+    @host_prep
     def compute_jonah_coefficients(self, species: SpeciesTable,
                                    laguerre: GaussLaguerre,
                                    plasma: ThermoAverages,
@@ -127,18 +129,21 @@ class DeltafData:
         self._z_spline = CubicSpline(bulkPi_over_Peq, z)
 
     # ------------------------------------------------------------------
-    def _bilinear(self, grid: jnp.ndarray, T, muB):
+    def _bilinear(self, grid, T, muB):
         """Bilinear interpolation in (T, muB) on the uniform grid
         (DeltafData.cpp:404-441)."""
+        grid = jnp.asarray(grid)
         iT = jnp.clip(jnp.floor((T - self._T_min) / self._dT).astype(jnp.int32),
                       0, self.tables.points_T - 2)
         iB = jnp.clip(jnp.floor((muB - self._muB_min) / self._dmuB).astype(jnp.int32),
                       0, max(self.tables.points_muB - 2, 0))
-        TL = self._T_grid[iT]
-        TR = self._T_grid[iT + 1]
+        T_grid = jnp.asarray(self._T_grid)
+        muB_grid = jnp.asarray(self._muB_grid)
+        TL = T_grid[iT]
+        TR = T_grid[iT + 1]
         if self.tables.points_muB > 1:
-            muBL = self._muB_grid[iB]
-            muBR = self._muB_grid[iB + 1]
+            muBL = muB_grid[iB]
+            muBR = muB_grid[iB + 1]
             f_LL = grid[iB, iT]
             f_LR = grid[iB + 1, iT]
             f_RL = grid[iB, iT + 1]
@@ -220,6 +225,7 @@ class DeltafData:
         return jnp.clip(bulkPi, lo, hi)
 
 
+@host_prep
 def compute_particle_densities(species: SpeciesTable, df_data: DeltafData,
                                laguerre: GaussLaguerre,
                                plasma: ThermoAverages) -> None:

@@ -64,7 +64,13 @@ class CubicSpline:
         the boundary interval (GSL would raise; callers clamp beforehand as
         the reference does for bulkPi, MomentumSpectra.cpp:601-615)."""
         xq = jnp.asarray(xq)
-        i = jnp.clip(jnp.searchsorted(self.x, xq, side="right") - 1,
-                     0, self.x.shape[0] - 2)
-        dx = xq - self.x[i]
-        return self.y[i] + dx * (self.b[i] + dx * (self.c[i] + dx * self.d[i]))
+        # lift host coefficients at call time: constants under tracing,
+        # same-device arrays in eager mode
+        x = jnp.asarray(self.x)
+        y = jnp.asarray(self.y)
+        b = jnp.asarray(self.b)
+        c = jnp.asarray(self.c)
+        d = jnp.asarray(self.d)
+        i = jnp.clip(jnp.searchsorted(x, xq, side="right") - 1, 0, x.shape[0] - 2)
+        dx = xq - x[i]
+        return y[i] + dx * (b[i] + dx * (c[i] + dx * d[i]))

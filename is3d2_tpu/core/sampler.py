@@ -326,8 +326,10 @@ def _sample_momentum(key, mass, sign, T, chem, max_rounds: int = 200):
         # ---- light branch (p^2 exp(-p) proposal) ----
         pbar_l = -(l1 + l2 + l3)
         Ebar_l = jnp.sqrt(pbar_l * pbar_l + mbar2)
-        feq_l = 1.0 / (jnp.exp(Ebar_l) + sign)
-        w_l = feq_l / weq_max / (r1 * r2 * r3)
+        # overflow-safe: feq = exp(-E)/(1+s exp(-E)); 1/(r1 r2 r3) = exp(p)
+        den_l = 1.0 + sign * jnp.exp(-Ebar_l)
+        feq_l = jnp.exp(-Ebar_l) / den_l
+        w_l = jnp.exp(pbar_l - Ebar_l) / den_l / weq_max
         phi_l = (l1 + l2) ** 2 / (pbar_l * pbar_l)
         cos_l = (l1 - l2) / (l1 + l2)
 
@@ -350,9 +352,11 @@ def _sample_momentum(key, mass, sign, T, chem, max_rounds: int = 200):
 
         Ebar_h = kbar + mbar
         pbar_h = jnp.sqrt(jnp.maximum(Ebar_h * Ebar_h - mbar2, 0.0))
-        boltz = jnp.exp(Ebar_h - chem)
-        feq_h = 1.0 / (boltz + sign)
-        w_h = pbar_h / jnp.where(Ebar_h != 0.0, Ebar_h, 1.0) * boltz * feq_h
+        # overflow-safe: boltz*feq = 1/(1+s exp(-(E-chem)))
+        t_h = Ebar_h - chem
+        den_h = 1.0 + sign * jnp.exp(-t_h)
+        feq_h = jnp.exp(-t_h) / den_h
+        w_h = pbar_h / jnp.where(Ebar_h != 0.0, Ebar_h, 1.0) / den_h
 
         w = jnp.where(light, w_l, w_h)
         pbar_new = jnp.where(light, pbar_l, pbar_h)

@@ -148,7 +148,8 @@ def compute_F(X, Ea, PTa, PLa, mass, sign, degeneracy):
     z = (aT2 - aL2)[:, None, None] / (w * w)
     t200, t220, t201 = _t_functions_200(z)
 
-    cw = p * w_q * jnp.exp(p) / (jnp.exp(Ebar) + sign[None, :, None])
+    # overflow-safe: exp(p)/(exp(E)+s) = exp(p-E)/(1+s exp(-E))
+    cw = p * w_q * jnp.exp(p - Ebar) / (1.0 + sign[None, :, None] * jnp.exp(-Ebar))
     valid = (mass > 0.0)[None, :, None]
     g = degeneracy[None, :, None] * valid
 
@@ -182,8 +183,9 @@ def compute_J(X, F, Ea, PTa, PLa, mass, sign, degeneracy):
     t200, t220, t201 = _t_functions_200(z)
     t402, t421, t440 = _t_functions_400(z)
 
-    qstat = jnp.exp(Ebar) + sign[None, :, None]
-    cw = w_q * jnp.exp(p + Ebar) / (qstat * qstat)
+    # overflow-safe: exp(p+E)/(exp(E)+s)^2 = exp(p-E)/(1+s exp(-E))^2
+    d = 1.0 + sign[None, :, None] * jnp.exp(-Ebar)
+    cw = w_q * jnp.exp(p - Ebar) / (d * d)
     valid = (mass > 0.0)[None, :, None]
     g = degeneracy[None, :, None] * valid
 
@@ -354,8 +356,8 @@ def compute_famod_coefficients(lam, aT, aL, mass, sign, degeneracy):
     z = (aT2 - aL2)[:, None, None] / (w * w)
     t402, t421, _ = _t_functions_400(z)
 
-    qstat = jnp.exp(Ebar) + sign[None, :, None]
-    cw = w_q * jnp.exp(p + Ebar) / (qstat * qstat)
+    d = 1.0 + sign[None, :, None] * jnp.exp(-Ebar)
+    cw = w_q * jnp.exp(p - Ebar) / (d * d)
     valid = (mass > 0.0)[None, :, None]
     g = degeneracy[None, :, None] * valid
 
@@ -376,6 +378,7 @@ def aniso_density_integral(lam, mass, sign, degeneracy, chem=0.0):
     mbar = mass[None, :] / lam[:, None]
     Ebar = jnp.sqrt(p * p + mbar[:, :, None] ** 2)
     chem_b = jnp.broadcast_to(jnp.asarray(chem), mbar.shape)[:, :, None]
-    I100 = jnp.sum(w_q * p * jnp.exp(p) / (jnp.exp(Ebar + chem_b) + sign[None, :, None]),
+    I100 = jnp.sum(w_q * p * jnp.exp(p - Ebar - chem_b)
+                   / (1.0 + sign[None, :, None] * jnp.exp(-Ebar - chem_b)),
                    axis=-1)
     return I100

@@ -301,6 +301,12 @@ def compute_spectra(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
     species = SpeciesArrays.from_table(species_table, chosen_idx)
     grid = MomentumGridDevice.from_grids(grids, cfg.dimension)
 
+    def cast_f32(tree):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating) else a,
+            tree)
+
     if cfg.df_mode in (1, 2):
         coeffs = df12_cell_coefficients(cells, df_data, cfg)
         if cfg.use_pallas and cfg.dimension == 2:
@@ -320,13 +326,28 @@ def compute_spectra(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
         else:
             out = _spectra_df12_jit(cells, coeffs, species, grid, cfg, n_blocks)
     elif cfg.df_mode in (3, 4):
-        from .spectra_feqmod import compute_spectra_feqmod
-        out = compute_spectra_feqmod(cells, species, grid, df_data, cfg,
-                                     laguerre, n_blocks)
+        from .feqmod import prepare_feqmod
+        from .spectra_feqmod import _spectra_feqmod_jit
+        fq = prepare_feqmod(cells, species, df_data, cfg, laguerre)
+        if cfg.compute_dtype == "f32":
+            # f32 is the TPU speed path (also avoids the pathological
+            # emulated-f64 compile of this kernel on remote TPU toolchains)
+            cells_c, fq_c, species_c, grid_c = (cast_f32(t) for t in
+                                                (cells, fq, species, grid))
+            out = _spectra_feqmod_jit(cells_c, fq_c, species_c, grid_c, cfg,
+                                      n_blocks)
+        else:
+            out = _spectra_feqmod_jit(cells, fq, species, grid, cfg, n_blocks)
     elif cfg.df_mode == 5:
-        from .spectra_famod import compute_spectra_famod
-        out = compute_spectra_famod(cells, species, grid, species_table, cfg,
-                                    n_blocks)
+        from .spectra_famod import prepare_famod, _spectra_famod_jit
+        fm = prepare_famod(cells, species_table, cfg)
+        if cfg.compute_dtype == "f32":
+            cells_c, fm_c, species_c, grid_c = (cast_f32(t) for t in
+                                                (cells, fm, species, grid))
+            out = _spectra_famod_jit(cells_c, fm_c, species_c, grid_c, cfg,
+                                     n_blocks)
+        else:
+            out = _spectra_famod_jit(cells, fm, species, grid, cfg, n_blocks)
     else:
         raise ValueError("df_mode must be 1..5")
     return np.asarray(out)

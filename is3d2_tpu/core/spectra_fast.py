@@ -200,6 +200,11 @@ def compute_spectra_fast(cells: CellArrays, coeffs: dict,
 
     n_species_blocks additionally tiles the momentum axis (m = s*NpT*Nphi) to
     bound the (cells x m) working set; S must be divisible by it.
+
+    Dtype note: compute_dtype=float32 is the TPU production path.  float64
+    is supported for CPU validation, but on remote-TPU toolchains f64 MXU
+    dots can crash the worker -- use the broadcast kernel (core/spectra.py)
+    for on-TPU f64 accuracy runs.
     """
     if cfg.dimension != 2:
         raise ValueError("fast path implements the 2+1d benchmark geometry")

@@ -91,6 +91,61 @@ def pad_species(species: SpeciesArrays, n_shards: int) -> SpeciesArrays:
     )
 
 
+def sharded_spectra_fast(cells: CellArrays, coeffs: dict,
+                         species: SpeciesArrays, grid: MomentumGridDevice,
+                         cfg: Config, mesh: Mesh, block: int = 512,
+                         compute_dtype=None, n_species_blocks: int = 1):
+    """MXU-structured f32 fast path sharded over ("cells", "species").
+
+    Each device contracts its cell shard against its species shard of the
+    momentum matrix; the cell reduction is a psum over ICI.  Returns the full
+    (S, NpT, Nphi, 1) spectra (species shards concatenated by shard_map).
+    """
+    import jax.numpy as jnp
+    from ..core.spectra_fast import (_cell_Q, momentum_matrix,
+                                     _spectra_fast_jit, PREFACTOR)
+
+    if compute_dtype is None:
+        compute_dtype = jnp.float32
+    n_cell_shards = mesh.shape["cells"]
+    n_sp_shards = mesh.shape["species"]
+
+    cells, coeffs = pad_cells_for_mesh(cells, coeffs, n_cell_shards, block)
+    species = pad_species(species, n_sp_shards)
+
+    per_cell = _cell_Q(cells, coeffs, compute_dtype)
+    mom = momentum_matrix(species, grid, compute_dtype)
+
+    local_cells = cells.n_padded // n_cell_shards
+    n_blocks = max(local_cells // min(block, local_cells), 1)
+
+    S = species.mass.shape[0]
+    NpT = grid.pT.shape[0]
+    Nphi = grid.cos_phi.shape[0]
+    # the flat m axis is (S, NpT*Nphi); shard over the species-major axis
+    M_per_sp = NpT * Nphi
+
+    mom_2d = tuple(a.reshape(S, M_per_sp) for a in mom)
+
+    pc_spec = {k: P("cells") for k in per_cell}
+    mom_spec = tuple(P("species") for _ in mom_2d)
+    eta = grid.eta.astype(compute_dtype)
+    eta_w = grid.eta_weight
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(pc_spec, mom_spec, P(), P()),
+             out_specs=P("species"), check_vma=False)
+    def run(per_cell_l, mom_l, eta_l, eta_w_l):
+        mom_flat = tuple(a.reshape(-1) for a in mom_l)
+        flat = _spectra_fast_jit(per_cell_l, mom_flat, eta_l, eta_w_l, cfg,
+                                 n_blocks, n_species_blocks, "float64")
+        flat = jax.lax.psum(flat, axis_name="cells")
+        return flat.reshape(-1, NpT, Nphi, 1)
+
+    out = run(per_cell, mom_2d, eta, eta_w)
+    return PREFACTOR * species.degeneracy.astype(out.dtype)[:, None, None, None] * out
+
+
 def sharded_spectra(cells: CellArrays, coeffs: dict, species: SpeciesArrays,
                     grid: MomentumGridDevice, cfg: Config, mesh: Mesh,
                     block: int = 1024):

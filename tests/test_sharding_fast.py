@@ -1,0 +1,63 @@
+"""Sharded fast-path spectra match the single-device fast path."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+from surfgen import make_surface
+
+from is3d2_tpu.config import Config
+from is3d2_tpu.io.pdg import read_pdg
+from is3d2_tpu.io.tables import MomentumGrids, load_table
+from is3d2_tpu.io.deltaf_tables import DeltafTables
+from is3d2_tpu.physics.deltaf import DeltafData
+from is3d2_tpu.core.cells import prepare_cells
+from is3d2_tpu.core.spectra import (SpeciesArrays, MomentumGridDevice,
+                                    df12_cell_coefficients)
+from is3d2_tpu.core.spectra_fast import compute_spectra_fast
+from is3d2_tpu.parallel.sharding import make_mesh, sharded_spectra_fast
+
+SPECIES8 = (111, 321, 2212, 2112, -2212, -2112, 211, -211)
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_sharded_fast_matches_single(reference_dir, mesh_shape):
+    assert len(jax.devices()) == 8
+
+    species_t = read_pdg(3, reference_dir / "PDG")
+    grids = MomentumGrids.from_dir(reference_dir / "tables")
+    phi48 = load_table(reference_dir / "tables/all_tables/phi/phi_gauss_table_48pt.dat")
+    grids.phi, grids.phi_weight = phi48[:, 0], phi48[:, 1]
+    tables = DeltafTables.load(3, include_baryon=False,
+                               base_dir=reference_dir / "deltaf_coefficients/vh")
+    surf = make_surface(96, seed=31, shear_scale=0.03, bulk_scale=0.01)
+    cfg = Config(operation=1, df_mode=1, hrg_eos=3, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, cell_block=16)
+    df_data = DeltafData(tables, 1, include_baryon=False)
+    chosen = species_t.chosen_indices(SPECIES8)
+
+    cells = prepare_cells(surf, cfg, block=16)
+    coeffs = df12_cell_coefficients(cells, df_data, cfg)
+    species = SpeciesArrays.from_table(species_t, chosen)
+    grid = MomentumGridDevice.from_grids(grids, cfg.dimension)
+
+    single = np.asarray(compute_spectra_fast(
+        cells, coeffs, species, grid, cfg, n_blocks=cells.n_padded // 16,
+        compute_dtype=jnp.float32))
+
+    mesh = make_mesh(mesh_shape[0], mesh_shape[1])
+    out = np.asarray(sharded_spectra_fast(cells, coeffs, species, grid, cfg,
+                                          mesh, block=16))
+
+    S = len(SPECIES8)
+    scale = np.abs(single).max()
+    sig = np.abs(single) > 1e-10 * scale
+    err = (np.abs(out[:S] - single) / np.maximum(np.abs(single), 1e-300))[sig].max()
+    # f32 reductions reassociate across the shard boundary
+    assert err < 1e-5, f"max rel err {err:.2e}"

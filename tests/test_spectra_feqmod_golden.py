@@ -37,14 +37,19 @@ def env(reference_dir):
     return species, grids, laguerre, tables
 
 
-@pytest.mark.parametrize("df_mode,bulk_scale,label", [
-    (3, 0.01, "small_bulk"),
-    (4, 0.01, "small_bulk"),
-    (3, 0.12, "large_bulk"),   # drives some cells into feqmod breakdown
-    (4, 0.12, "large_bulk"),
+@pytest.mark.parametrize("df_mode,bulk_scale,label,shear_on,bulk_on", [
+    (3, 0.01, "small_bulk", 1, 1),
+    (4, 0.01, "small_bulk", 1, 1),
+    (3, 0.12, "large_bulk", 1, 1),   # drives some cells into feqmod breakdown
+    (4, 0.12, "large_bulk", 1, 1),
+    # viscous-switch matrix (tests/modified_distribution style)
+    (3, 0.01, "shear_only", 1, 0),
+    (3, 0.01, "bulk_only", 0, 1),
+    (4, 0.01, "bulk_only", 0, 1),
+    (3, 0.01, "no_visc", 0, 0),
 ])
 def test_spectra_feqmod_vs_oracle(reference_dir, tmp_path, env, df_mode,
-                                  bulk_scale, label):
+                                  bulk_scale, label, shear_on, bulk_on):
     species, grids, laguerre, tables = env
     surf = make_surface(50, seed=17, bulk_scale=bulk_scale, shear_scale=0.05)
     surf_file = tmp_path / "surface_gen.dat"
@@ -52,12 +57,13 @@ def test_spectra_feqmod_vs_oracle(reference_dir, tmp_path, env, df_mode,
 
     sandbox = tmp_path / f"sb_df{df_mode}_{label}"
     params = {"operation": 1, "df_mode": df_mode, "hrg_eos": 3,
-              "include_shear_deltaf": 1, "include_bulk_deltaf": 1}
+              "include_shear_deltaf": shear_on, "include_bulk_deltaf": bulk_on}
     setup_sandbox(sandbox, params, surf_file, chosen_mcids=PIKP)
     run_oracle(sandbox)
 
     cfg = Config(operation=1, df_mode=df_mode, hrg_eos=3,
-                 include_shear_deltaf=1, include_bulk_deltaf=1, cell_block=32)
+                 include_shear_deltaf=shear_on, include_bulk_deltaf=bulk_on,
+                 cell_block=32)
     df_data = DeltafData(tables, df_mode, include_baryon=False)
     if df_mode == 4:
         from is3d2_tpu.io.surface import ThermoAverages

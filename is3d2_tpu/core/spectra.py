@@ -313,7 +313,7 @@ def compute_spectra(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
             # fused Pallas kernel (f32 compute, f64 accumulation)
             from ..ops.spectra_fast_common import compute_spectra_pallas
             out = compute_spectra_pallas(cells, coeffs, species, grid, cfg)
-        elif cfg.compute_dtype == "f32" and cfg.dimension == 2:
+        elif cfg.compute_dtype == "f32":
             # MXU-structured fast path (f32 compute, f64 accumulation)
             from .spectra_fast import compute_spectra_fast
             import jax.numpy as _jnp

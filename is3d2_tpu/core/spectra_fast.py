@@ -56,6 +56,96 @@ def momentum_matrix(species: SpeciesArrays, grid: MomentumGridDevice, dtype):
     return tuple(a.astype(dtype) for a in (mT_m, px_m, py_m, mass2_m, b_m, sgn_m))
 
 
+def momentum_matrix_3d(species: SpeciesArrays, grid: MomentumGridDevice, dtype):
+    """3+1d per-m arrays with m = (species, pT, phi, y).
+
+    Uses the light-cone basis m+ = mT e^{+y}, m- = mT e^{-y} so that
+    pt = (e^{-eta} m+ + e^{eta} m-)/2 is a sum of positives — no catastrophic
+    cancellation in f32 (a cosh/sinh basis cancels ~e^{|y|+|eta|} down to
+    O(1)).  The cell's eta_c becomes a per-cell rescale of the contraction
+    rows (see _cell_Q_3d), eliminating the eta loop entirely."""
+    mT = jnp.sqrt(species.mass[:, None] ** 2 + grid.pT[None, :] ** 2)  # (s,p)
+    S, NpT = mT.shape
+    Nphi = grid.cos_phi.shape[0]
+    Ny = grid.y.shape[0]
+    shape = (S, NpT, Nphi, Ny)
+    M = S * NpT * Nphi * Ny
+
+    exp_p = jnp.exp(grid.y)
+    exp_m = jnp.exp(-grid.y)
+
+    def flat(a):
+        return jnp.broadcast_to(a, shape).reshape(M).astype(dtype)
+
+    m_plus = flat(mT[:, :, None, None] * exp_p[None, None, None, :])
+    m_minus = flat(mT[:, :, None, None] * exp_m[None, None, None, :])
+    px_m = flat((grid.pT[:, None] * grid.cos_phi[None, :])[None, :, :, None])
+    py_m = flat((grid.pT[:, None] * grid.sin_phi[None, :])[None, :, :, None])
+    mass2_m = flat((species.mass ** 2)[:, None, None, None])
+    b_m = flat(species.baryon[:, None, None, None])
+    sgn_m = flat(species.sign[:, None, None, None])
+    return (m_plus, px_m, py_m, mass2_m, b_m, sgn_m, m_minus)
+
+
+def _cell_Q_3d(cells: CellArrays, coeffs: dict, dtype):
+    """Per-cell contraction rows for 3+1d in the light-cone basis:
+    pt = a m+ + b m-, tau pn = a m+ - b m- with a = e^{-eta}/2, b = e^{eta}/2.
+    """
+    c = cells
+    tau = c.tau
+    tau2 = tau * tau
+    a = 0.5 * jnp.exp(-c.eta)
+    b = 0.5 * jnp.exp(c.eta)
+
+    # u.p = pt ut - px ux - py uy - (tau pn)(tau un)/tau... = pt ut - (tau un)(tau pn)/tau
+    # with tau pn = a m+ - b m-: coefficient of m+ is a(ut - tau un),
+    # of m- is b(ut + tau un) -- both sums of like-signed terms
+    tun = tau * c.un
+    Q_E = jnp.stack([a * (c.ut - tun), -c.ux, -c.uy, b * (c.ut + tun)], axis=1)
+    dan_t = c.dan / tau
+    Q_d = jnp.stack([a * (c.dat + dan_t), c.dax, c.day,
+                     b * (c.dat - dan_t)], axis=1)
+
+    # quadratic coefficients against basis (pt, px, py, tau pn) ...
+    k1 = c.pitt
+    k2 = c.pixx
+    k3 = c.piyy
+    k4 = tau2 * c.pinn
+    k5 = -2.0 * c.pitx
+    k6 = -2.0 * c.pity
+    k7 = -2.0 * tau * c.pitn
+    k8 = 2.0 * c.pixy
+    k9 = 2.0 * tau * c.pixn
+    k10 = 2.0 * tau * c.piyn
+    # ... transformed to (m+, px, py, m-): pt = a m+ + b m-, d = a m+ - b m-
+    Q_pi = jnp.stack([
+        a * a * (k1 + k4 + k7),        # m+ m+
+        k2,                            # px px
+        k3,                            # py py
+        b * b * (k1 + k4 - k7),        # m- m-
+        a * (k5 + k9),                 # m+ px
+        a * (k6 + k10),                # m+ py
+        2.0 * a * b * (k1 - k4),       # m+ m-
+        k8,                            # px py
+        b * (k5 - k9),                 # px m-
+        b * (k6 - k10),                # py m-
+    ], axis=1)
+    tVn = tau * c.Vn
+    Q_V = jnp.stack([a * (c.Vt - tVn), -c.Vx, -c.Vy, b * (c.Vt + tVn)], axis=1)
+
+    cols = {k: v.astype(dtype) for k, v in coeffs.items()}
+    return {
+        "Q_E": Q_E.astype(dtype),
+        "Q_d": Q_d.astype(dtype),
+        "Q_pi": Q_pi.astype(dtype),
+        "Q_V": Q_V.astype(dtype),
+        "invT": (1.0 / c.T).astype(dtype),
+        "alphaB": c.alphaB.astype(dtype),
+        "mask": c.mask.astype(dtype),
+        **cols,
+    }
+
+
 def _cell_Q(cells: CellArrays, coeffs: dict, dtype):
     """Per-cell contraction coefficient rows."""
     c = cells
@@ -159,6 +249,82 @@ def _block_fast(q: dict, mom, eta, eta_w, cfg: Config, acc_dtype):
     return acc
 
 
+def _block_fast_3d(q: dict, mom, cfg: Config, acc_dtype):
+    """One cell block in 3+1d: no eta loop (the cell rapidity lives in the
+    rotated Q rows); one pass of contractions + df chain + cell reduction."""
+    m1, px_m, py_m, mass2_m, b_m, sgn_m, m4 = mom
+    P = jnp.stack([m1, px_m, py_m, m4])
+
+    E = jnp.dot(q["Q_E"], P, preferred_element_type=P.dtype)
+    pdd = jnp.dot(q["Q_d"], P, preferred_element_type=P.dtype)
+    if cfg.include_shear_deltaf:
+        PP = jnp.stack([P[0] * P[0], P[1] * P[1], P[2] * P[2], P[3] * P[3],
+                        P[0] * P[1], P[0] * P[2], P[0] * P[3],
+                        P[1] * P[2], P[1] * P[3], P[2] * P[3]])
+        pim = jnp.dot(q["Q_pi"], PP, preferred_element_type=P.dtype)
+    else:
+        pim = 0.0
+    if cfg.include_baryon and cfg.include_baryondiff_deltaf:
+        Vp = jnp.dot(q["Q_V"], P, preferred_element_type=P.dtype)
+    else:
+        Vp = 0.0
+
+    a = E * q["invT"][:, None] - q["alphaB"][:, None] * b_m[None, :]
+    feq = 1.0 / (jnp.exp(a) + sgn_m[None, :])
+    feqbar = 1.0 - sgn_m[None, :] * feq
+
+    if cfg.df_mode == 1:
+        df = (q["shear"][:, None] * pim + q["bulk0"][:, None] * mass2_m[None, :]
+              + (q["bulk1"][:, None] * b_m[None, :] + q["bulk2"][:, None] * E) * E)
+        if cfg.include_baryon and cfg.include_baryondiff_deltaf:
+            df = df + (q["diff0"][:, None] * b_m[None, :]
+                       + q["diff1"][:, None] * E) * Vp
+    else:
+        df = (q["shear"][:, None] * pim / E + q["bulk0"][:, None] * E
+              + q["bulk1"][:, None] * b_m[None, :]
+              + q["bulk2"][:, None] * (E - mass2_m[None, :] / E))
+        if cfg.include_baryon and cfg.include_baryondiff_deltaf:
+            df = df + (q["diff0"][:, None]
+                       - q["diff1"][:, None] * b_m[None, :] / E) * Vp
+    df = feqbar * df
+    if cfg.regulate_deltaf:
+        df = jnp.clip(df, -1.0, 1.0)
+    if cfg.outflow:
+        pdd = jnp.where(pdd > 0.0, pdd, 0.0)
+
+    value = pdd * (feq * (1.0 + df))
+    partial_m = jnp.dot(q["mask"][None, :], value,
+                        preferred_element_type=value.dtype)[0]
+    return partial_m.astype(acc_dtype)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_blocks", "n_m_blocks",
+                                   "acc_dtype_name"))
+def _spectra_fast_3d_jit(per_cell: dict, mom, cfg: Config, n_blocks: int,
+                         n_m_blocks: int, acc_dtype_name: str):
+    acc_dtype = jnp.dtype(acc_dtype_name)
+    C_total = per_cell["invT"].shape[0]
+    blk = C_total // n_blocks
+    M = mom[0].shape[0]
+    m_blk = M // n_m_blocks
+
+    def body(acc, ij):
+        i = ij // n_m_blocks
+        j = ij % n_m_blocks
+        q = {k: jax.lax.dynamic_slice_in_dim(v, i * blk, blk, 0)
+             for k, v in per_cell.items()}
+        mom_j = tuple(jax.lax.dynamic_slice_in_dim(a, j * m_blk, m_blk, 0)
+                      for a in mom)
+        part = _block_fast_3d(q, mom_j, cfg, acc_dtype)
+        return jax.lax.dynamic_update_slice(
+            acc, jax.lax.dynamic_slice(acc, (j * m_blk,), (m_blk,)) + part,
+            (j * m_blk,)), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros(M, dtype=acc_dtype),
+                          jnp.arange(n_blocks * n_m_blocks))
+    return acc
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_blocks", "n_m_blocks",
                                    "acc_dtype_name"))
 def _spectra_fast_jit(per_cell: dict, mom, eta, eta_w, cfg: Config,
@@ -206,23 +372,28 @@ def compute_spectra_fast(cells: CellArrays, coeffs: dict,
     dots can crash the worker -- use the broadcast kernel (core/spectra.py)
     for on-TPU f64 accuracy runs.
     """
-    if cfg.dimension != 2:
-        raise ValueError("fast path implements the 2+1d benchmark geometry")
     if cfg.df_mode not in (1, 2):
         raise ValueError("fast path implements df modes 1/2")
     S = species.mass.shape[0]
     if S % n_species_blocks != 0:
         raise ValueError("n_species_blocks must divide the species count")
-
-    per_cell = _cell_Q(cells, coeffs, compute_dtype)
-    mom = momentum_matrix(species, grid, compute_dtype)
-    flat = _spectra_fast_jit(per_cell, mom,
-                             grid.eta.astype(compute_dtype),
-                             grid.eta_weight.astype(jnp.dtype(acc_dtype)),
-                             cfg, n_blocks, n_species_blocks,
-                             jnp.dtype(acc_dtype).name)
-    S = species.mass.shape[0]
     NpT = grid.pT.shape[0]
     Nphi = grid.cos_phi.shape[0]
-    out = flat.reshape(S, NpT, Nphi, 1)
+
+    if cfg.dimension == 2:
+        per_cell = _cell_Q(cells, coeffs, compute_dtype)
+        mom = momentum_matrix(species, grid, compute_dtype)
+        flat = _spectra_fast_jit(per_cell, mom,
+                                 grid.eta.astype(compute_dtype),
+                                 grid.eta_weight.astype(jnp.dtype(acc_dtype)),
+                                 cfg, n_blocks, n_species_blocks,
+                                 jnp.dtype(acc_dtype).name)
+        out = flat.reshape(S, NpT, Nphi, 1)
+    else:
+        per_cell = _cell_Q_3d(cells, coeffs, compute_dtype)
+        mom = momentum_matrix_3d(species, grid, compute_dtype)
+        flat = _spectra_fast_3d_jit(per_cell, mom, cfg, n_blocks,
+                                    n_species_blocks,
+                                    jnp.dtype(acc_dtype).name)
+        out = flat.reshape(S, NpT, Nphi, grid.y.shape[0])
     return PREFACTOR * species.degeneracy.astype(out.dtype)[:, None, None, None] * out

@@ -301,25 +301,24 @@ class ParticleList:
         return int(self.valid.sum())
 
 
-def _sample_momentum(key, mass, sign, T, chem, max_rounds: int = 200):
-    """Vectorized rejection sampling of the LRF momentum
-    (sample_momentum, ParticleSampler.cpp:243-405).
-
-    All hadron lanes iterate together until every lane accepted.
-    Returns (E, px, py, pz, feq) in GeV.
-    """
-    mbar = mass / T
-    mbar2 = mbar * mbar
-    n = mass.shape[0]
-
-    light = mbar < 1.008
-    use_pion_rescale = (mbar < 0.8554) & (sign == -1.0)
-    weq_max = jnp.where(use_pion_rescale, pion_thermal_weight_max(mbar), 1.0)
+def _rejection_loop(key, mbar, mbar2, sign, chem, light, weq_max,
+                    max_rounds: int):
+    """All-lanes rejection rounds until every lane accepted (or max_rounds).
+    Proposal math runs in f32 (the draws feed f32-exact comparisons; accepted
+    kinematics are upcast by the caller); returns dimensionless
+    (accepted, pbar, Ebar, phi2pi, costh, feq)."""
+    f32 = jnp.float32
+    mbar = mbar.astype(f32)
+    mbar2 = mbar2.astype(f32)
+    sign = sign.astype(f32)
+    chem = chem.astype(f32)
+    weq_max = weq_max.astype(f32)
+    n = mbar.shape[0]
 
     def body(state):
         rnd, key, accepted, pbar, Ebar, phi2pi, costh, feq = state
         key, k1 = jax.random.split(key)
-        u = jax.random.uniform(k1, (9, n))
+        u = jax.random.uniform(k1, (9, n), dtype=f32)
         r1, r2, r3 = 1.0 - u[0], 1.0 - u[1], 1.0 - u[2]
         l1, l2, l3 = jnp.log(r1), jnp.log(r2), jnp.log(r3)
 
@@ -378,11 +377,59 @@ def _sample_momentum(key, mass, sign, T, chem, max_rounds: int = 200):
         accepted = state[2]
         return (rnd < max_rounds) & ~jnp.all(accepted)
 
-    zeros = jnp.zeros(n)
+    zeros = jnp.zeros(n, f32)
     state = (jnp.asarray(0), key, jnp.zeros(n, dtype=bool),
-             zeros, jnp.ones(n), zeros, zeros, zeros)
+             zeros, jnp.ones(n, f32), zeros, zeros, zeros)
     _, _, accepted, pbar, Ebar, phi2pi, costh, feq = \
         jax.lax.while_loop(cond, body, state)
+    return accepted, pbar, Ebar, phi2pi, costh, feq
+
+
+def _sample_momentum(key, mass, sign, T, chem, rounds_phase1: int = 10,
+                     rounds_phase2: int = 200, straggler_frac: int = 4):
+    """Vectorized rejection sampling of the LRF momentum
+    (sample_momentum, ParticleSampler.cpp:243-405).
+
+    An all-lanes while_loop is tail-dominated: the last few low-acceptance
+    lanes force ~1/w_min * ln(n) full-width rounds.  Two phases instead:
+    a few full-width rounds accept the bulk, then the stragglers are
+    compacted into an n/straggler_frac buffer that iterates to completion.
+    Statistically identical (each lane still draws independent proposals
+    until its own first acceptance).  Returns (E, px, py, pz, feq, accepted)
+    in GeV.
+    """
+    mbar = mass / T
+    mbar2 = mbar * mbar
+    n = mass.shape[0]
+
+    light = mbar < 1.008
+    use_pion_rescale = (mbar < 0.8554) & (sign == -1.0)
+    weq_max = jnp.where(use_pion_rescale, pion_thermal_weight_max(mbar), 1.0)
+
+    key1, key2 = jax.random.split(key)
+    accepted, pbar, Ebar, phi2pi, costh, feq = _rejection_loop(
+        key1, mbar, mbar2, sign, chem, light, weq_max, rounds_phase1)
+
+    # compact stragglers (fixed-size; overflow lanes simply stay unaccepted
+    # and are dropped by the keep mask -- probability ~ (1-w)^phase1 > 1/frac)
+    m = n // straggler_frac
+    idx = jnp.nonzero(~accepted, size=m, fill_value=0)[0]
+    was_straggler = ~accepted[idx]
+
+    acc2, pbar2, Ebar2, phi2, cos2, feq2 = _rejection_loop(
+        key2, mbar[idx], mbar2[idx], sign[idx], chem[idx], light[idx],
+        weq_max[idx], rounds_phase2)
+
+    def put(base, new):
+        return base.at[idx].set(jnp.where(was_straggler, new.astype(base.dtype),
+                                          base[idx]))
+
+    pbar = put(pbar, pbar2)
+    Ebar = put(Ebar, Ebar2)
+    phi2pi = put(phi2pi, phi2)
+    costh = put(costh, cos2)
+    feq = put(feq, feq2)
+    accepted = accepted.at[idx].set(jnp.where(was_straggler, acc2, accepted[idx]))
 
     p = pbar * T
     phi = phi2pi * two_pi

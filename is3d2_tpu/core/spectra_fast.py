@@ -36,6 +36,21 @@ from .cells import CellArrays
 from .spectra import PREFACTOR, MomentumGridDevice, SpeciesArrays
 
 
+def _contract(Q, rows):
+    """sum_k Q[:, k, None] * rows[k][None, :] as an explicit VPU FMA chain.
+
+    K is tiny (4 or 10), so the MXU buys nothing here, and on TPU a
+    DEFAULT-precision f32 matmul rounds its inputs to bf16 -- a ~1e-2
+    relative error after the exp amplification (full-f32 MXU passes cost
+    6x).  The broadcast chain is exact f32 and fuses into the elementwise
+    kernel, eliminating the HBM round-trips between matmul and VPU ops.
+    """
+    acc = Q[:, 0, None] * rows[0][None, :]
+    for k in range(1, len(rows)):
+        acc = acc + Q[:, k, None] * rows[k][None, :]
+    return acc
+
+
 def momentum_matrix(species: SpeciesArrays, grid: MomentumGridDevice, dtype):
     """Per-m arrays (m = species x pT x phi): mT, px, py, mass^2, baryon, sign
     and per-species degeneracy folded out later."""
@@ -189,22 +204,22 @@ def _block_fast(q: dict, mom, eta, eta_w, cfg: Config, acc_dtype):
     def one_eta(carry, ew):
         acc = carry
         cosh_e, sinh_e, w_e = ew
-        # P rows for this eta point: (4, M)
-        P = jnp.stack([mT_m * cosh_e, px_m, py_m, mT_m * sinh_e])
+        # P rows for this eta point
+        P = [mT_m * cosh_e, px_m, py_m, mT_m * sinh_e]
 
-        E = jnp.dot(q["Q_E"], P, preferred_element_type=P.dtype)    # (C, M)
-        pdd = jnp.dot(q["Q_d"], P, preferred_element_type=P.dtype)
+        E = _contract(q["Q_E"], P)                            # (C, M)
+        pdd = _contract(q["Q_d"], P)
 
         if cfg.include_shear_deltaf:
-            PP = jnp.stack([P[0] * P[0], P[1] * P[1], P[2] * P[2], P[3] * P[3],
-                            P[0] * P[1], P[0] * P[2], P[0] * P[3],
-                            P[1] * P[2], P[1] * P[3], P[2] * P[3]])
-            pim = jnp.dot(q["Q_pi"], PP, preferred_element_type=P.dtype)
+            PP = [P[0] * P[0], P[1] * P[1], P[2] * P[2], P[3] * P[3],
+                  P[0] * P[1], P[0] * P[2], P[0] * P[3],
+                  P[1] * P[2], P[1] * P[3], P[2] * P[3]]
+            pim = _contract(q["Q_pi"], PP)
         else:
             pim = 0.0
 
         if cfg.include_baryon and cfg.include_baryondiff_deltaf:
-            Vp = jnp.dot(q["Q_V"], P, preferred_element_type=P.dtype)
+            Vp = _contract(q["Q_V"], P)
         else:
             Vp = 0.0
 
@@ -235,9 +250,9 @@ def _block_fast(q: dict, mom, eta, eta_w, cfg: Config, acc_dtype):
             pdd = jnp.where(pdd > 0.0, pdd, 0.0)
 
         value = pdd * (feq * (1.0 + df))                      # (C, M)
-        # cell reduction on the MXU: (1, C) . (C, M)
-        partial = jnp.dot(q["mask"][None, :], value,
-                          preferred_element_type=value.dtype)[0]
+        # cell reduction: fused f32 multiply + reduce (a DEFAULT-precision
+        # mask matmul would round the values to bf16 on TPU)
+        partial = jnp.sum(q["mask"][:, None] * value, axis=0)
         return acc + (w_e * partial).astype(acc_dtype), None
 
     acc0 = jnp.zeros(M, dtype=acc_dtype)
@@ -253,19 +268,19 @@ def _block_fast_3d(q: dict, mom, cfg: Config, acc_dtype):
     """One cell block in 3+1d: no eta loop (the cell rapidity lives in the
     rotated Q rows); one pass of contractions + df chain + cell reduction."""
     m1, px_m, py_m, mass2_m, b_m, sgn_m, m4 = mom
-    P = jnp.stack([m1, px_m, py_m, m4])
+    P = [m1, px_m, py_m, m4]
 
-    E = jnp.dot(q["Q_E"], P, preferred_element_type=P.dtype)
-    pdd = jnp.dot(q["Q_d"], P, preferred_element_type=P.dtype)
+    E = _contract(q["Q_E"], P)
+    pdd = _contract(q["Q_d"], P)
     if cfg.include_shear_deltaf:
-        PP = jnp.stack([P[0] * P[0], P[1] * P[1], P[2] * P[2], P[3] * P[3],
-                        P[0] * P[1], P[0] * P[2], P[0] * P[3],
-                        P[1] * P[2], P[1] * P[3], P[2] * P[3]])
-        pim = jnp.dot(q["Q_pi"], PP, preferred_element_type=P.dtype)
+        PP = [P[0] * P[0], P[1] * P[1], P[2] * P[2], P[3] * P[3],
+              P[0] * P[1], P[0] * P[2], P[0] * P[3],
+              P[1] * P[2], P[1] * P[3], P[2] * P[3]]
+        pim = _contract(q["Q_pi"], PP)
     else:
         pim = 0.0
     if cfg.include_baryon and cfg.include_baryondiff_deltaf:
-        Vp = jnp.dot(q["Q_V"], P, preferred_element_type=P.dtype)
+        Vp = _contract(q["Q_V"], P)
     else:
         Vp = 0.0
 
@@ -293,8 +308,7 @@ def _block_fast_3d(q: dict, mom, cfg: Config, acc_dtype):
         pdd = jnp.where(pdd > 0.0, pdd, 0.0)
 
     value = pdd * (feq * (1.0 + df))
-    partial_m = jnp.dot(q["mask"][None, :], value,
-                        preferred_element_type=value.dtype)[0]
+    partial_m = jnp.sum(q["mask"][:, None] * value, axis=0)
     return partial_m.astype(acc_dtype)
 
 

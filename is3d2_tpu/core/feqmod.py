@@ -15,6 +15,7 @@ EmissionFunction.cpp:33-109) with vectorized per-cell arrays:
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -104,10 +105,98 @@ def pion0_density_negative(T, bulkPi, F, betabulk, mass_pion0, laguerre):
     return (neq + dn) < 0.0
 
 
-@host_prep
+@partial(jax.jit, static_argnames=("n_blocks",))
+def _renorm_ptm_device(T, alphaB, T_mod, alphaB_mod, bulkPi, bulk0, bulk1,
+                       bulk2, mass, baryon, sign, deg, r1, w1, r2, w2,
+                       n_blocks: int):
+    """PTM per-(cell,species) renormalization n_linear/n_mod on the default
+    device in f32 (MomentumSpectra.cpp:790-826).
+
+    This is the only setup-scale computation that is NOT tiny: four
+    (cells x species x 32)-point Gauss-Laguerre quadratures.  On the host in
+    f64 it dominates the wall clock (minutes at 1e4+ cells); in f32 on the
+    accelerator it is milliseconds, and the result only feeds the f32 fast
+    kernel.  The integrands use the overflow-safe factored exponentials of
+    physics/thermal.py, so f32/TPU evaluation is safe.  Blocked over cells to
+    bound the (blk, S, 32) intermediates.
+    """
+    C = T.shape[0]
+    blk = C // n_blocks
+    inv_betabulk = 3.0 * T * bulk2          # bulk2 = 1/(3 T betabulk)
+
+    def body(_, i):
+        def sl(a):
+            return jax.lax.dynamic_slice_in_dim(a, i * blk, blk, 0)
+
+        Tb, aBb, Tmb, aBmb = sl(T), sl(alphaB), sl(T_mod), sl(alphaB_mod)
+        bPib, b0b, b1b, ibbb = sl(bulkPi), sl(bulk0), sl(bulk1), sl(inv_betabulk)
+        mbar = mass[None, :] / Tb[:, None]
+        mbar_mod = mass[None, :] / Tmb[:, None]
+        aB2 = aBb[:, None]
+        aBm2 = aBmb[:, None]
+        b = baryon[None, :]
+        sgn = sign[None, :]
+        g = deg[None, :]
+        neq_fact = (Tb ** 3 / two_pi2_hbarC3)[:, None]
+        J20_fact = (Tb ** 4 / two_pi2_hbarC3)[:, None]
+        nmod_fact = (Tmb ** 3 / two_pi2_hbarC3)[:, None]
+
+        neq = neq_fact * g * thermal.neq_integral(r1, w1, mbar, aB2, b, sgn)
+        N10 = b * neq_fact * g * thermal.J10_integral(r1, w1, mbar, aB2, b, sgn)
+        J20 = J20_fact * g * thermal.J20_integral(r2, w2, mbar, aB2, b, sgn)
+        n_linear = neq + bPib[:, None] * (neq * ibbb[:, None]
+                                          + N10 * b1b[:, None]
+                                          + J20 * b0b[:, None])
+        n_mod = nmod_fact * g * thermal.neq_integral(r1, w1, mbar_mod, aBm2,
+                                                     b, sgn)
+        return None, n_linear / n_mod
+
+    _, out = jax.lax.scan(body, None, jnp.arange(n_blocks))
+    return out.reshape(C, -1)
+
+
 def prepare_feqmod(cells: CellArrays, species: SpeciesArrays,
                    df_data: DeltafData, cfg: Config,
                    laguerre: GaussLaguerre) -> FeqmodCellData:
+    """Host prep + (for the f32 fast path) device-side PTM renormalization."""
+    device_renorm = (cfg.compute_dtype == "f32" and cfg.df_mode == 3
+                     and cfg.include_bulk_deltaf)
+    fq = _prepare_feqmod_host(cells, species, df_data, cfg, laguerre,
+                              skip_renorm=device_renorm)
+    if not device_renorm:
+        return fq
+
+    f32 = jnp.float32
+    C = cells.n_padded
+    n_blocks = 1
+    for cand in (4096, 2048, 1024):
+        if C % cand == 0 and C > cand:
+            n_blocks = C // cand
+            break
+    renorm = _renorm_ptm_device(
+        jnp.asarray(cells.T, f32), jnp.asarray(cells.alphaB, f32),
+        jnp.asarray(fq.T_mod, f32), jnp.asarray(fq.alphaB_mod, f32),
+        jnp.asarray(fq.bulkPi, f32), jnp.asarray(fq.bulk0, f32),
+        jnp.asarray(fq.bulk1, f32), jnp.asarray(fq.bulk2, f32),
+        jnp.asarray(species.mass, f32), jnp.asarray(species.baryon, f32),
+        jnp.asarray(species.sign, f32), jnp.asarray(species.degeneracy, f32),
+        jnp.asarray(laguerre.roots[1], f32), jnp.asarray(laguerre.weights[1], f32),
+        jnp.asarray(laguerre.roots[2], f32), jnp.asarray(laguerre.weights[2], f32),
+        n_blocks)
+    if cfg.dimension == 2:
+        renorm = renorm / jnp.asarray(fq.detA_bulk_23, f32)[:, None]
+    else:
+        detA = jnp.asarray(fq.detA, f32)
+        renorm = renorm / jnp.where(jnp.abs(detA[:, None]) > 1e-30,
+                                    detA[:, None], 1.0)
+    return dataclasses.replace(fq, renorm=renorm)
+
+
+@host_prep
+def _prepare_feqmod_host(cells: CellArrays, species: SpeciesArrays,
+                         df_data: DeltafData, cfg: Config,
+                         laguerre: GaussLaguerre,
+                         skip_renorm: bool = False) -> FeqmodCellData:
     c = cells
     tau2 = c.tau * c.tau
 
@@ -162,7 +251,10 @@ def prepare_feqmod(cells: CellArrays, species: SpeciesArrays,
 
     # per-(cell, species) renormalization (MomentumSpectra.cpp:790-826)
     S_count = species.mass.shape[0]
-    if cfg.include_bulk_deltaf:
+    if skip_renorm:
+        # caller computes the PTM renorm on the accelerator in f32
+        renorm = jnp.zeros((c.n_padded, S_count))
+    elif cfg.include_bulk_deltaf:
         if cfg.df_mode == 3:
             r1, w1 = jnp.asarray(laguerre.roots[1]), jnp.asarray(laguerre.weights[1])
             r2, w2 = jnp.asarray(laguerre.roots[2]), jnp.asarray(laguerre.weights[2])

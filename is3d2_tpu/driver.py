@@ -158,6 +158,9 @@ class IS3D:
                     output.write_particle_list_oscar(results,
                                                      self.final_particles,
                                                      n_events)
+                    output.write_particle_list_csv(results,
+                                                   self.final_particles,
+                                                   n_events)
 
         if cfg.mode == 5:
             St, Sx, Sy, Sn, Snorm = compute_polarization(

@@ -65,11 +65,42 @@ def reconstruction_species(table: SpeciesTable, max_species: int = 320):
             jnp.asarray(table.gspin[:n]))
 
 
-@host_prep
 def prepare_famod(cells: CellArrays, species_table: SpeciesTable,
                   cfg: Config) -> FamodCellData:
-    c = cells
+    """VAH reconstruction + famod cell data.
+
+    The batched Newton solve over (cells x <=320 species x 16 quadrature
+    points) is the only setup-scale computation that is not tiny (minutes on
+    the host at 1e4+ cells).  When the result feeds the f32 fast kernel it
+    runs jitted on the default device in f32 (the solver tolerance is 1e-4
+    and all integrands use overflow-safe weights); the f64 broadcast path
+    keeps the host f64 solve for golden parity.
+    """
     mass_pdg, sign_pdg, deg_pdg = reconstruction_species(species_table)
+    if cfg.compute_dtype == "f32":
+        f32 = jnp.float32
+
+        def cast(tree):
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(f32)
+                if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+                else a, tree)
+
+        return _prepare_famod_body(cast(cells), mass_pdg.astype(f32),
+                                   sign_pdg.astype(f32), deg_pdg.astype(f32),
+                                   cfg)
+    return _prepare_famod_host(cells, mass_pdg, sign_pdg, deg_pdg, cfg)
+
+
+@host_prep
+def _prepare_famod_host(cells, mass_pdg, sign_pdg, deg_pdg, cfg):
+    return _prepare_famod_body(cells, mass_pdg, sign_pdg, deg_pdg, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _prepare_famod_body(cells: CellArrays, mass_pdg, sign_pdg, deg_pdg,
+                        cfg: Config) -> FamodCellData:
+    c = cells
 
     basis = lrf.milne_basis(c.tau, c.ux, c.uy, c.un)
     pi = lrf.boost_shear(basis, c.tau, c.pitt, c.pitx, c.pity, c.pitn,

@@ -140,8 +140,8 @@ def compute_F(X, Ea, PTa, PLa, mass, sign, degeneracy):
 
     mbar = mass[None, :] / lam[:, None]                           # (c,n)
     mbar2 = mbar * mbar
-    p = ROOTS_A2[None, None, :]                                   # (1,1,q)
-    w_q = WEIGHTS_A2[None, None, :]
+    p = ROOTS_A2.astype(X.dtype)[None, None, :]                   # (1,1,q)
+    w_q = WEIGHTS_A2.astype(X.dtype)[None, None, :]
 
     Ebar = jnp.sqrt(p * p + mbar2[:, :, None])
     w = jnp.sqrt(aL2[:, None, None] + mbar2[:, :, None] / (p * p))
@@ -172,8 +172,8 @@ def compute_J(X, F, Ea, PTa, PLa, mass, sign, degeneracy):
 
     mbar = mass[None, :] / lam[:, None]
     mbar2 = mbar * mbar
-    p = ROOTS_A3[None, None, :]
-    w_q = WEIGHTS_A3[None, None, :]
+    p = ROOTS_A3.astype(X.dtype)[None, None, :]
+    w_q = WEIGHTS_A3.astype(X.dtype)[None, None, :]
     p2 = p * p
 
     Ebar = jnp.sqrt(p2 + mbar2[:, :, None])
@@ -301,7 +301,7 @@ def find_anisotropic_variables(E, pl, pt, lam0, aT0, aL0,
         f = 0.5 * jnp.sum(F * F, axis=-1)
         # guard singular J on done lanes
         J_safe = jnp.where(done[:, None, None],
-                           jnp.eye(3)[None, :, :], J)
+                           jnp.eye(3, dtype=J.dtype)[None, :, :], J)
         dX = jnp.linalg.solve(J_safe, -F[..., None]).squeeze(-1)
         dX_abs = jnp.sqrt(jnp.sum(dX * dX, axis=-1))
         rescale = jnp.where(dX_abs > stepmax, stepmax / dX_abs, 1.0)
@@ -347,8 +347,8 @@ def compute_famod_coefficients(lam, aT, aL, mass, sign, degeneracy):
 
     mbar = mass[None, :] / lam[:, None]
     mbar2 = mbar * mbar
-    p = ROOTS_A3[None, None, :]
-    w_q = WEIGHTS_A3[None, None, :]
+    p = ROOTS_A3.astype(lam.dtype)[None, None, :]
+    w_q = WEIGHTS_A3.astype(lam.dtype)[None, None, :]
     p2 = p * p
 
     Ebar = jnp.sqrt(p2 + mbar2[:, :, None])

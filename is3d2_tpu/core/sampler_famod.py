@@ -38,7 +38,9 @@ def prepare_sampler_famod(surf, species_table: SpeciesTable, chosen_idx,
     ds = lrf.boost_dsigma(basis, c.tau, c.ux, c.uy, c.un,
                           c.dat, c.dax, c.day, c.dan)
 
-    fm = prepare_famod(cells, species_table, cfg)
+    from .spectra_famod import vah_from_surface
+    fm = prepare_famod(cells, species_table, cfg,
+                       vah_from_surface(surf, cells.n_padded))
     breaks = fm.breaks_down
 
     ident = jnp.ones_like(fm.Bxx)

@@ -344,8 +344,9 @@ def compute_spectra(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
         else:
             out = _spectra_feqmod_jit(cells, fq, species, grid, cfg, n_blocks)
     elif cfg.df_mode == 5:
-        from .spectra_famod import prepare_famod, _spectra_famod_jit
-        fm = prepare_famod(cells, species_table, cfg)
+        from .spectra_famod import prepare_famod, _spectra_famod_jit, vah_from_surface
+        vah = vah_from_surface(surf, cells.n_padded)
+        fm = prepare_famod(cells, species_table, cfg, vah)
         if cfg.compute_dtype == "f32" and cfg.dimension == 2:
             from .spectra_feqmod_fast import compute_spectra_feqmod_fast
             out = compute_spectra_feqmod_fast(cells, fm, species, grid, cfg,

@@ -65,8 +65,30 @@ def reconstruction_species(table: SpeciesTable, max_species: int = 320):
             jnp.asarray(table.gspin[:n]))
 
 
+def vah_from_surface(surf, n_padded: int):
+    """Pack a legacy VAH surface's (Lambda, aT, aL, upsilonB) columns
+    (surface modes 2/3, readindata.cu:812-1055) into padded arrays for
+    prepare_famod, converting upsilonB [GeV] to the dimensionless
+    upsilonB/Lambda used in f_a."""
+    if not getattr(surf, "has_aniso_variables", False):
+        return None
+    n = surf.n_cells
+
+    def pad(a, fill):
+        out = np.full(n_padded, fill, dtype=np.float64)
+        out[:n] = a
+        return jnp.asarray(out)
+
+    lam = np.asarray(surf.Lambda, dtype=np.float64)
+    ups = np.zeros(n) if surf.upsilonB is None else np.asarray(surf.upsilonB)
+    return {"lam": pad(lam, 1.0),
+            "aT": pad(surf.aT, 1.0),
+            "aL": pad(surf.aL, 1.0),
+            "upsilonB_over_lam": pad(ups / np.maximum(lam, 1e-300), 0.0)}
+
+
 def prepare_famod(cells: CellArrays, species_table: SpeciesTable,
-                  cfg: Config) -> FamodCellData:
+                  cfg: Config, vah: dict | None = None) -> FamodCellData:
     """VAH reconstruction + famod cell data.
 
     The batched Newton solve over (cells x <=320 species x 16 quadrature
@@ -75,6 +97,10 @@ def prepare_famod(cells: CellArrays, species_table: SpeciesTable,
     runs jitted on the default device in f32 (the solver tolerance is 1e-4
     and all integrands use overflow-safe weights); the f64 broadcast path
     keeps the host f64 solve for golden parity.
+
+    vah: optional padded (lam, aT, aL, upsilonB_over_lam) arrays from a
+    legacy VAH surface (modes 2/3) -- used directly, skipping the Newton
+    reconstruction (the famod coefficient integrals still run).
     """
     mass_pdg, sign_pdg, deg_pdg = reconstruction_species(species_table)
     if cfg.compute_dtype == "f32":
@@ -88,18 +114,18 @@ def prepare_famod(cells: CellArrays, species_table: SpeciesTable,
 
         return _prepare_famod_body(cast(cells), mass_pdg.astype(f32),
                                    sign_pdg.astype(f32), deg_pdg.astype(f32),
-                                   cfg)
-    return _prepare_famod_host(cells, mass_pdg, sign_pdg, deg_pdg, cfg)
+                                   cfg, cast(vah))
+    return _prepare_famod_host(cells, mass_pdg, sign_pdg, deg_pdg, cfg, vah)
 
 
 @host_prep
-def _prepare_famod_host(cells, mass_pdg, sign_pdg, deg_pdg, cfg):
-    return _prepare_famod_body(cells, mass_pdg, sign_pdg, deg_pdg, cfg)
+def _prepare_famod_host(cells, mass_pdg, sign_pdg, deg_pdg, cfg, vah=None):
+    return _prepare_famod_body(cells, mass_pdg, sign_pdg, deg_pdg, cfg, vah)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _prepare_famod_body(cells: CellArrays, mass_pdg, sign_pdg, deg_pdg,
-                        cfg: Config) -> FamodCellData:
+                        cfg: Config, vah: dict | None = None) -> FamodCellData:
     c = cells
 
     basis = lrf.milne_basis(c.tau, c.ux, c.uy, c.un)
@@ -119,14 +145,20 @@ def _prepare_famod_body(cells: CellArrays, mass_pdg, sign_pdg, deg_pdg,
         zeros = jnp.zeros_like(pl)
         piTxx = piTxy = piTyy = WTzx = WTzy = zeros
 
-    # reconstruct anisotropic variables from the equilibrium guess;
-    # guard negative (pl, pt) inputs (they mark breakdown anyway)
-    sol = find_anisotropic_variables(c.E, pl, pt, c.T,
-                                     jnp.ones_like(c.T), jnp.ones_like(c.T),
-                                     mass_pdg, sign_pdg, deg_pdg)
-    breaks = sol.failed | (pl < 0) | (pt < 0)
-
-    lam, aT, aL = sol.lam, sol.aT, sol.aL
+    if vah is not None:
+        # legacy VAH surface: (Lambda, aT, aL) are given (modes 2/3)
+        lam, aT, aL = vah["lam"], vah["aT"], vah["aL"]
+        breaks = (lam <= 0.0) | (aT <= 0.0) | (aL <= 0.0)
+        upsilonB = vah["upsilonB_over_lam"]
+    else:
+        # reconstruct anisotropic variables from the equilibrium guess;
+        # guard negative (pl, pt) inputs (they mark breakdown anyway)
+        sol = find_anisotropic_variables(c.E, pl, pt, c.T,
+                                         jnp.ones_like(c.T), jnp.ones_like(c.T),
+                                         mass_pdg, sign_pdg, deg_pdg)
+        breaks = sol.failed | (pl < 0) | (pt < 0)
+        lam, aT, aL = sol.lam, sol.aT, sol.aL
+        upsilonB = c.alphaB
     betapiperp, betaWperp = compute_famod_coefficients(lam, aT, aL, mass_pdg,
                                                        sign_pdg, deg_pdg)
     shear_coeff = 0.5 / betapiperp
@@ -185,7 +217,7 @@ def _prepare_famod_body(cells: CellArrays, mass_pdg, sign_pdg, deg_pdg,
     return FamodCellData(
         Xt=basis.Xt, Xx=basis.Xx, Xy=basis.Xy, Xn=basis.Xn,
         Yx=basis.Yx, Yy=basis.Yy, Zt=basis.Zt, Zn=basis.Zn,
-        lam=lam, aT=aT, aL=aL, upsilonB=c.alphaB,
+        lam=lam, aT=aT, aL=aL, upsilonB=upsilonB,
         Bxx=Bxx, Bxy=Bxy, Bxz=Bxz, Byy=Byy, Byz=Byz, Bzz=Bzz,
         Binv=Binv, detB=detB, eta_scale=eta_scale, renorm=renorm,
         breaks_down=breaks,

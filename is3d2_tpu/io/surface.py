@@ -13,8 +13,16 @@ Supported formats (``mode``):
           (CUDA-only in the reference, readindata.cu:147-318; the bundled
           input/surface.dat is in this format)
   1 / 5 : CPU VH (or VAH), raw hbar=1 units     (readindata.cpp:167-367)
+  2     : legacy VAH P_L-matching (CPU-VAH), with (Lambda, a_L) inferred
+          from the conformal factorization fit  (readindata.cu:812-930)
+  3     : legacy VAH (P_L, P_T)-matching with explicit (Lambda, a_T, a_L)
+          columns                               (readindata.cu:932-1055)
   6     : MUSIC public, tau-scaled columns      (readindata.cpp:372-567)
   7     : HIC-EventGen, 2+1d velocity columns   (readindata.cpp:570-729)
+
+Modes 2/3 fill the optional VAH fields (PL, PT, W^mu, Lambda, aT, aL,
+upsilonB); the df=5 famod engine uses those directly instead of
+re-reconstructing the anisotropic variables.
 """
 
 from __future__ import annotations
@@ -100,9 +108,26 @@ class SurfaceData:
     wxn: np.ndarray
     wyn: np.ndarray
 
+    # legacy VAH extras (surface modes 2/3 only; None for VH surfaces)
+    PL: np.ndarray | None = None        # longitudinal pressure [GeV/fm^3]
+    PT: np.ndarray | None = None        # transverse pressure [GeV/fm^3]
+    Wt: np.ndarray | None = None        # W_perpz^mu diffusion current
+    Wx: np.ndarray | None = None
+    Wy: np.ndarray | None = None
+    Wn: np.ndarray | None = None
+    Lambda: np.ndarray | None = None    # anisotropic effective T [GeV]
+    aT: np.ndarray | None = None
+    aL: np.ndarray | None = None
+    upsilonB: np.ndarray | None = None  # effective baryon chemical pot [GeV]
+    nBL: np.ndarray | None = None
+
     @property
     def n_cells(self) -> int:
         return self.tau.shape[0]
+
+    @property
+    def has_aniso_variables(self) -> bool:
+        return self.Lambda is not None
 
     @classmethod
     def zeros(cls, n: int) -> "SurfaceData":
@@ -196,6 +221,131 @@ def _read_cpu_vh(cols: np.ndarray, mode: int, include_baryon: bool) -> SurfaceDa
     return s
 
 
+def aL_fit(pl_peq_ratio: np.ndarray) -> np.ndarray:
+    """Conformal factorization fit a_L(P_L/P_eq) (arsenal.cu:1018-1045):
+    the [14/14] rational approximant used by the legacy VAH P_L-matching
+    pipeline."""
+    x = np.asarray(pl_peq_ratio, dtype=np.float64)
+    num = np.polyval([
+        0.048528166213735346, -0.6320131889637761, 1.462901772148128,
+        8.04299287188939, -33.75866652773691, 12.673594148032494,
+        44.45243622597357, 11.582755440134724, 0.7235583305942909,
+        0.011776118846199547, 0.00004757224421671691, 4.2846163672079405e-8,
+        7.2725449826862375e-12, 1.7179667824677117e-16, 2.307660683188896e-22,
+    ], x)
+    den = np.polyval([
+        -0.014599143701745957, 0.4703844693488544, -4.005934533735304,
+        11.636087951096759, 1.5449108423263358, -55.213789667214364,
+        44.38310108782752, 40.1581708710626, 5.466199358534425,
+        0.18185453852532632, 0.0015212379997299082, 2.9819348588423508e-6,
+        1.2033043382301483e-9, 8.059757191879689e-14, 5.595674409987461e-19,
+    ], x)
+    return num / den
+
+
+def R200(aL: np.ndarray) -> np.ndarray:
+    """aL * t_200(1/aL^2 - 1), the conformal I_200 factor
+    (arsenal.cu:1047-1079)."""
+    aL = np.asarray(aL, dtype=np.float64)
+    x = 1.0 / (aL * aL) - 1.0
+    if np.any(x <= -1.0):
+        raise ValueError("R200: 1/aL^2 - 1 <= -1 is out of bounds")
+    delta = 0.01
+    with np.errstate(invalid="ignore"):
+        xp = np.where(x > delta, x, 1.0)
+        t_pos = 1.0 + (1.0 + x) * np.arctan(np.sqrt(xp)) / np.sqrt(xp)
+        xn = np.where(x < -delta, x, -0.5)
+        t_neg = 1.0 + (1.0 + x) * np.arctanh(np.sqrt(-xn)) / np.sqrt(-xn)
+    t_tay = 2.0 + x * (0.6666666666666667 + x * (-0.1333333333333333
+            + x * (0.05714285714285716 + x * (-0.031746031746031744
+            + x * (0.020202020202020193 + x * (-0.013986013986013984
+            + (0.010256410256410262 - 0.00784313725490196 * x) * x))))))
+    t200 = np.where(np.abs(x) <= delta, t_tay,
+                    np.where(x > delta, t_pos, t_neg))
+    return aL * t200
+
+
+def _read_vah_pl_match(cols: np.ndarray) -> SurfaceData:
+    """Legacy VAH P_L-matching format (readindata.cu:812-930):
+    (x^mu, da_mu, u^mu, E, T, P, pl, pi^munu[10], W^mu[4], bulkPi), raw
+    hbar=1 units; (a_L, Lambda) inferred via the conformal fit."""
+    n = cols.shape[0]
+    s = SurfaceData.zeros(n)
+    s.tau, s.x, s.y, s.eta = cols[:, 0], cols[:, 1], cols[:, 2], cols[:, 3]
+    s.dat, s.dax, s.day, s.dan = cols[:, 4], cols[:, 5], cols[:, 6], cols[:, 7]
+    s.ux, s.uy, s.un = cols[:, 9], cols[:, 10], cols[:, 11]
+    s.E = cols[:, 12] * hbarC
+    s.T = cols[:, 13] * hbarC
+    s.P = cols[:, 14] * hbarC
+    s.PL = cols[:, 15] * hbarC
+    # pi^munu: tt tx ty tn xx xy xn yy yn nn (16..25)
+    s.pixx = cols[:, 20] * hbarC
+    s.pixy = cols[:, 21] * hbarC
+    s.pixn = cols[:, 22] * hbarC
+    s.piyy = cols[:, 23] * hbarC
+    s.piyn = cols[:, 24] * hbarC
+    s.Wt = cols[:, 26] * hbarC
+    s.Wx = cols[:, 27] * hbarC
+    s.Wy = cols[:, 28] * hbarC
+    s.Wn = cols[:, 29] * hbarC
+    s.bulkPi = cols[:, 30] * hbarC
+    pl_over_p = cols[:, 15] / cols[:, 14]
+    if np.any(pl_over_p >= 3.0):
+        raise ValueError("VAH PL-match: pl/p >= 3 is outside the conformal "
+                         "factorization fit (readindata.cu:920)")
+    aL = aL_fit(pl_over_p)
+    s.aL = aL
+    s.aT = np.ones(n)
+    s.Lambda = (cols[:, 13] / (0.5 * aL * R200(aL)) ** 0.25) * hbarC
+    s.PT = 0.5 * (3.0 * (s.P + s.bulkPi) - s.PL)   # trace matching
+    s.upsilonB = np.zeros(n)
+    return s
+
+
+def _read_vah_plpt_match(cols: np.ndarray, include_baryon: bool,
+                         include_baryondiff: bool) -> SurfaceData:
+    """Legacy VAH (P_L, P_T)-matching format (readindata.cu:932-1055):
+    (x^mu, da_mu, u^mu, e, T, pl, pt, pi^munu[10], W^mu[4], Lambda, aT, aL,
+    [muB upsilonB], [nB nBL V^mu[3]]), raw hbar=1 units."""
+    n = cols.shape[0]
+    s = SurfaceData.zeros(n)
+    s.tau, s.x, s.y, s.eta = cols[:, 0], cols[:, 1], cols[:, 2], cols[:, 3]
+    s.dat, s.dax, s.day, s.dan = cols[:, 4], cols[:, 5], cols[:, 6], cols[:, 7]
+    s.ux, s.uy, s.un = cols[:, 9], cols[:, 10], cols[:, 11]
+    s.E = cols[:, 12] * hbarC
+    s.T = cols[:, 13] * hbarC
+    s.PL = cols[:, 14] * hbarC
+    s.PT = cols[:, 15] * hbarC
+    # equilibrium P is not stored in this format (the reference leaves it
+    # unset); reconstruct the isotropic part for thermo averages
+    s.P = (s.PL + 2.0 * s.PT) / 3.0
+    s.pixx = cols[:, 20] * hbarC
+    s.pixy = cols[:, 21] * hbarC
+    s.pixn = cols[:, 22] * hbarC
+    s.piyy = cols[:, 23] * hbarC
+    s.piyn = cols[:, 24] * hbarC
+    s.Wt = cols[:, 26] * hbarC
+    s.Wx = cols[:, 27] * hbarC
+    s.Wy = cols[:, 28] * hbarC
+    s.Wn = cols[:, 29] * hbarC
+    s.Lambda = cols[:, 30] * hbarC
+    s.aT = cols[:, 31]
+    s.aL = cols[:, 32]
+    s.upsilonB = np.zeros(n)
+    c = 33
+    if include_baryon:
+        s.muB = cols[:, c] * hbarC
+        s.upsilonB = cols[:, c + 1] * hbarC
+        c += 2
+    if include_baryondiff:
+        s.nB = cols[:, c] * hbarC
+        s.nBL = cols[:, c + 1] * hbarC
+        # V^mu == V_perp^mu: (Vt, Vx, Vy), no Vn column
+        s.Vx = cols[:, c + 3] * hbarC
+        s.Vy = cols[:, c + 4] * hbarC
+    return s
+
+
 def _read_music(cols: np.ndarray, include_baryon: bool) -> SurfaceData:
     n = cols.shape[0]
     s = SurfaceData.zeros(n)
@@ -271,6 +421,10 @@ def read_surface(path: str | Path, mode: int, dimension: int,
         s = _read_vh_old(cols, include_baryon, include_baryon)
     elif mode in (1, 5):
         s = _read_cpu_vh(cols, mode, include_baryon)
+    elif mode == 2:
+        s = _read_vah_pl_match(cols)
+    elif mode == 3:
+        s = _read_vah_plpt_match(cols, include_baryon, include_baryon)
     elif mode == 6:
         s = _read_music(cols, include_baryon)
     elif mode == 7:
@@ -280,7 +434,7 @@ def read_surface(path: str | Path, mode: int, dimension: int,
             raise ValueError("HIC-EventGen has no baryon chemical potential (set include_baryon = 0)")
         s = _read_hic_eventgen(cols)
     else:
-        raise ValueError(f"unknown surface mode {mode} (supported: 0,1,5,6,7)")
+        raise ValueError(f"unknown surface mode {mode} (supported: 0-3,5,6,7)")
     if dimension == 2:
         _enforce_boost_invariance(s)
     return s

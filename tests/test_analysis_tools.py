@@ -25,9 +25,13 @@ def _workdir(tmp_path, params, reference_dir):
     setup_sandbox(sandbox, params, surf_file, chosen_mcids=(211, 321, 2212))
     # the bundled phi_table.dat is a single point (0, 2pi): fine for the
     # reference's central-value runs but not for a phi-averaged comparison
-    # against sampling -- use the 48-pt Gauss table
+    # against sampling -- use the 48-pt Gauss table.  The sandbox entry is a
+    # SYMLINK into the read-only reference tree: replace the link, never
+    # copy onto it (that writes through to the reference).
+    dst = sandbox / "tables/momentum/phi_table.dat"
+    dst.unlink()
     shutil.copy(reference_dir / "tables/all_tables/phi/phi_gauss_table_48pt.dat",
-                sandbox / "tables/momentum/phi_table.dat")
+                dst)
     return sandbox
 
 

@@ -24,6 +24,11 @@ Architecture (TPU-first, not a translation):
 
 Precision: x64 is enabled at import (the physics is tuned to double
 precision; see IS3D2_X64=0 to disable for fast f32 experiments).
+
+Compilation cache: a persistent XLA compilation cache is enabled at
+``~/.cache/is3d2_tpu/xla`` (override with IS3D2_XLA_CACHE=<dir>, disable
+with IS3D2_XLA_CACHE=0).  On remote-compile TPU tunnels this turns a
+cold-start CLI run dominated by kernel compilation (minutes) into seconds.
 """
 
 import os
@@ -32,6 +37,14 @@ if os.environ.get("IS3D2_X64", "1") != "0":
     import jax
 
     jax.config.update("jax_enable_x64", True)
+
+_cache = os.environ.get("IS3D2_XLA_CACHE",
+                        os.path.expanduser("~/.cache/is3d2_tpu/xla"))
+if _cache and _cache != "0":
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from .constants import hbarC, two_pi, two_pi2_hbarC3, four_pi2_hbarC3  # noqa: E402
 from .config import Config  # noqa: E402

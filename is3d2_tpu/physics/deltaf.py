@@ -156,6 +156,41 @@ class DeltafData:
         return (f_L * (TR - T) + f_R * (T - TL)) / self._dT
 
     # ------------------------------------------------------------------
+    def test_coefficients(self, plasma, bulkPi_over_P: float = 0.0) -> str:
+        """Spot-check printout of the df coefficients at the average
+        thermodynamic state (Deltaf_Data::test_df_coefficients,
+        DeltafData.cpp:522-553).  Returns the formatted string."""
+        import numpy as np
+
+        T = np.float64(plasma.temperature)
+        E = np.float64(plasma.energy_density)
+        P = np.float64(plasma.pressure)
+        muB = np.float64(plasma.baryon_chemical_potential)
+        df = self.evaluate(np.atleast_1d(T), np.atleast_1d(muB),
+                           np.atleast_1d(E), np.atleast_1d(P),
+                           np.atleast_1d(bulkPi_over_P * P))
+
+        def v(a):
+            return float(np.asarray(a)[0])
+
+        if self.df_mode == 1:
+            body = (f"(c0, c1, c2, c3, c4, shear14) = ({v(df.c0):f}, "
+                    f"{v(df.c1):f}, {v(df.c2):f}, {v(df.c3):f}, "
+                    f"{v(df.c4):f}, {v(df.shear14):f})")
+            head = "Grad 14-moment"
+        elif self.df_mode in (2, 3, 5):
+            body = (f"(F, G, betabulk, betaV, betapi) = ({v(df.F):f}, "
+                    f"{v(df.G):f}, {v(df.betabulk):f}, {v(df.betaV):f}, "
+                    f"{v(df.betapi):f})")
+            head = "RTA Chapman-Enskog (or PTM)"
+        else:
+            body = (f"(lambda, z, dlambda, dz, betapi) = ({v(df.lam):f}, "
+                    f"{v(df.z):f}, {v(df.delta_lambda):f}, "
+                    f"{v(df.delta_z):f}, {v(df.betapi):f})")
+            head = "PTB"
+        return (f"Testing {head} df coefficients for Pi/Peq = "
+                f"{bulkPi_over_P:.3f}\n{body}")
+
     def evaluate(self, T, muB, E, P, bulkPi) -> DeltafCoefficients:
         """Vectorized evaluate_df_coefficients (DeltafData.cpp:324-519).
 

@@ -187,3 +187,20 @@ def test_dsigma_boost_invariant_magnitude():
     ds_ds = dat**2 - dax**2 - day**2 - dan**2 / tau2
     np.testing.assert_allclose(np.asarray(ds.t**2 - ds.space**2),
                                np.asarray(ds_ds), rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.parametrize("df_mode", [1, 2, 4])
+def test_df_coefficient_spotcheck(box_setup, df_mode):
+    """test_df_coefficients equivalent (DeltafData.cpp:522-553)."""
+    surf, plasma, species, gla, tables = box_setup
+    dfd = DeltafData(tables, df_mode, include_baryon=False)
+    if df_mode == 4:
+        dfd.compute_jonah_coefficients(species, gla, plasma)
+    text = dfd.test_coefficients(plasma, bulkPi_over_P=-0.1)
+    assert "Pi/Peq = -0.100" in text
+    key = {1: "c0, c1", 2: "F, G", 4: "lambda, z"}[df_mode]
+    assert key in text
+    # every printed number parses finite
+    import re
+    nums = [float(t) for t in re.findall(r"-?\d+\.\d+", text.splitlines()[1])]
+    assert nums and all(np.isfinite(nums))

@@ -8,9 +8,10 @@ MXU-structured f32 kernel with f64 accumulation.
 
 Metric: Cooper-Frye integrand evaluations per second
         (cells x species x pT x phi x eta per wall-second, steady state).
-vs_baseline: speedup over the reference C++ binary (single thread, compiled
-        -O2 from /root/reference via tests/oracle) measured on the same
-        physics on this host.
+vs_baseline: per-chip speedup over an IDEAL 48-thread scaling of the
+        reference C++ binary (single thread, compiled -O2 from
+        /root/reference via tests/oracle, measured best-of-3 on this host;
+        the BASELINE.md bar is ">= 20x a 48-thread icpc run").
 
 Prints exactly one JSON line on stdout; diagnostics go to stderr.
 """
@@ -46,19 +47,22 @@ def measure_oracle_evals_per_sec(tmp: Path) -> float:
         setup_sandbox(sb, {"operation": 1, "df_mode": 1, "hrg_eos": 3,
                            "include_shear_deltaf": 1, "include_bulk_deltaf": 1},
                       sf, chosen_mcids=(111, 321, 2212))
-        r = run_oracle(sb, timeout=900)
-        # the binary prints "Spectra calculation took X seconds"
+        # best of 3: the host-side run is sensitive to transient load
         secs = None
-        for line in r.stdout.splitlines():
-            if "Spectra calculation took" in line:
-                secs = float(line.split()[-2])
+        for _ in range(3):
+            r = run_oracle(sb, timeout=900)
+            # the binary prints "Spectra calculation took X seconds"
+            for line in r.stdout.splitlines():
+                if "Spectra calculation took" in line:
+                    t = float(line.split()[-2])
+                    secs = t if secs is None else min(secs, t)
         evals = 600 * 3 * 51 * 1 * 24  # default tables: 1 phi point
         rate = evals / max(secs, 1e-9)
         log(f"oracle: {secs:.3f}s for {evals:.3e} evals -> {rate:.3e} evals/s")
         return rate
     except Exception as e:  # no compiler / no reference checkout
         log(f"oracle baseline unavailable ({e}); using cached host measurement")
-        return 1.8e7  # single-thread g++ -O2 rate measured on this host class
+        return 4.2e5  # single-thread g++ -O2 rate measured on this host (1 core, 2.1 GHz)
 
 
 def main():
@@ -110,12 +114,13 @@ def main():
                                    n_blocks=n_blocks,
                                    compute_dtype=jnp.float32,
                                    n_species_blocks=4)
-        out.block_until_ready()
-        return out
+        # force a host transfer: on the remote-TPU tunnel block_until_ready
+        # has been observed to return before the computation finishes
+        return float(out.sum())
 
     t0 = time.time()
-    out = run()
-    log(f"compile+first run: {time.time() - t0:.1f}s  sum={float(out.sum()):.6e}")
+    checksum = run()
+    log(f"compile+first run: {time.time() - t0:.1f}s  sum={checksum:.6e}")
 
     times = []
     for _ in range(3):
@@ -128,11 +133,18 @@ def main():
 
     baseline = measure_oracle_evals_per_sec(Path("/tmp/is3d2_bench"))
 
+    # normalize against an IDEAL 48-thread scaling of the measured
+    # single-thread reference binary (the BASELINE.md bar is ">= 20x a
+    # 48-thread icpc run"; this host exposes 1 CPU core, so perfect
+    # 48-way scaling is granted to the baseline)
     print(json.dumps({
-        "metric": "CF cell*species*momentum evals/sec (full HRG Grad-14 spectra, f32 MXU path)",
+        "metric": "CF cell*species*momentum evals/sec (full HRG Grad-14 "
+                  "spectra, f32 fast path; vs_baseline = per-chip speedup "
+                  "over ideal 48-thread scaling of the measured "
+                  "single-thread reference binary)",
         "value": rate,
         "unit": "evals/s",
-        "vs_baseline": rate / baseline,
+        "vs_baseline": rate / (48.0 * baseline),
     }))
 
 

@@ -329,33 +329,21 @@ def compute_spectra(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
         from .feqmod import prepare_feqmod
         from .spectra_feqmod import _spectra_feqmod_jit
         fq = prepare_feqmod(cells, species, df_data, cfg, laguerre)
-        if cfg.compute_dtype == "f32" and cfg.dimension == 2:
-            # MXU-structured quadratic-form kernel (f32 compute, f64 accum)
+        if cfg.compute_dtype == "f32":
+            # quadratic-form FMA kernel (f32 compute, f64 accumulation)
             from .spectra_feqmod_fast import compute_spectra_feqmod_fast
             out = compute_spectra_feqmod_fast(cells, fq, species, grid, cfg,
                                               n_cell_blocks=n_blocks)
-        elif cfg.compute_dtype == "f32":
-            # f32 is the TPU speed path (also avoids the pathological
-            # emulated-f64 compile of this kernel on remote TPU toolchains)
-            cells_c, fq_c, species_c, grid_c = (cast_f32(t) for t in
-                                                (cells, fq, species, grid))
-            out = _spectra_feqmod_jit(cells_c, fq_c, species_c, grid_c, cfg,
-                                      n_blocks)
         else:
             out = _spectra_feqmod_jit(cells, fq, species, grid, cfg, n_blocks)
     elif cfg.df_mode == 5:
         from .spectra_famod import prepare_famod, _spectra_famod_jit, vah_from_surface
         vah = vah_from_surface(surf, cells.n_padded)
         fm = prepare_famod(cells, species_table, cfg, vah)
-        if cfg.compute_dtype == "f32" and cfg.dimension == 2:
+        if cfg.compute_dtype == "f32":
             from .spectra_feqmod_fast import compute_spectra_feqmod_fast
             out = compute_spectra_feqmod_fast(cells, fm, species, grid, cfg,
                                               n_cell_blocks=n_blocks)
-        elif cfg.compute_dtype == "f32":
-            cells_c, fm_c, species_c, grid_c = (cast_f32(t) for t in
-                                                (cells, fm, species, grid))
-            out = _spectra_famod_jit(cells_c, fm_c, species_c, grid_c, cfg,
-                                     n_blocks)
         else:
             out = _spectra_famod_jit(cells, fm, species, grid, cfg, n_blocks)
     else:

@@ -80,6 +80,9 @@ def _pack_feqmod_fast(cells: CellArrays, fq: FeqmodCellData, cfg: Config):
         "ut": f(c.ut), "ux": f(c.ux), "uy": f(c.uy), "tun": f(tau * c.un),
         "dat": f(c.dat), "dax": f(c.dax), "day": f(c.day),
         "dan_t": f(c.dan / tau),
+        "a_lc": f(0.5 * jnp.exp(-c.eta)),        # 3+1d light-cone factors
+        "b_lc": f(0.5 * jnp.exp(c.eta)),
+        "detA": f(fq.detA),
         "Xt": f(fq.Xt), "Xx": f(fq.Xx), "Xy": f(fq.Xy), "Xnt": f(tau * fq.Xn),
         "Yx": f(fq.Yx), "Yy": f(fq.Yy),
         "Zt": f(fq.Zt), "Znt": f(tau * fq.Zn),
@@ -123,6 +126,9 @@ def _pack_famod_fast(cells: CellArrays, fm, n_species: int):
         "ut": f(c.ut), "ux": f(c.ux), "uy": f(c.uy), "tun": f(tau * c.un),
         "dat": f(c.dat), "dax": f(c.dax), "day": f(c.day),
         "dan_t": f(c.dan / tau),
+        "a_lc": f(0.5 * jnp.exp(-c.eta)),
+        "b_lc": f(0.5 * jnp.exp(c.eta)),
+        "detA": f(fm.detB),
         "Xt": f(fm.Xt), "Xx": f(fm.Xx), "Xy": f(fm.Xy), "Xnt": f(tau * fm.Xn),
         "Yx": f(fm.Yx), "Yy": f(fm.Yy),
         "Zt": f(fm.Zt), "Znt": f(tau * fm.Zn),
@@ -310,24 +316,201 @@ def _feqmod_fast_jit(data: dict, P9, mass2, baryon, sign, eta, eta_w,
     return acc
 
 
+def build_P4_3d(species: SpeciesArrays, grid: MomentumGridDevice, dtype=F32):
+    """(S, 5, M) light-cone momentum rows per species for 3+1d:
+    (m+, px, py, m-, mT) with m_pm = mT e^{+-y}, M = NpT * Nphi * Ny.
+
+    In this basis pt = a m+ + b m- and tau pn = a m+ - b m- with the
+    per-cell factors a = e^{-eta_c}/2, b = e^{eta_c}/2 -- sums of positives,
+    so no cosh/sinh cancellation in f32 (same trick as spectra_fast 3+1d)."""
+    mT = jnp.sqrt(species.mass[:, None] ** 2 + grid.pT[None, :] ** 2)  # (S,p)
+    S, NpT = mT.shape
+    Nphi = grid.cos_phi.shape[0]
+    Ny = grid.y.shape[0]
+    shape = (S, NpT, Nphi, Ny)
+    M = NpT * Nphi * Ny
+
+    def flat(a):
+        return jnp.broadcast_to(a, shape).reshape(S, M)
+
+    exp_p = jnp.exp(grid.y)
+    m_plus = flat(mT[:, :, None, None] * exp_p[None, None, None, :])
+    m_minus = flat(mT[:, :, None, None] / exp_p[None, None, None, :])
+    px_m = flat((grid.pT[:, None] * grid.cos_phi[None, :])[None, :, :, None])
+    py_m = flat((grid.pT[:, None] * grid.sin_phi[None, :])[None, :, :, None])
+    mT_m = flat(mT[:, :, None, None])
+    return jnp.stack([m_plus, px_m, py_m, m_minus, mT_m],
+                     axis=1).astype(dtype)
+
+
+def _quad10(cp, cx, cy, cm):
+    """10 quadratic coefficients of (cp m+ + cx px + cy py + cm m-)^2-type
+    cross terms: returns the list ordering used by _one_block_3d's PP rows
+    (m+m+, pxpx, pypy, m-m-, m+px, m+py, m+m-, pxpy, pxm-, pym-)."""
+    return [cp * cp, cx * cx, cy * cy, cm * cm,
+            2 * cp * cx, 2 * cp * cy, 2 * cp * cm,
+            2 * cx * cy, 2 * cx * cm, 2 * cy * cm]
+
+
+def _one_block_3d(d, s_idx, P5, mass2_s, b_s, sgn_s, cfg: Config, kind: str):
+    """One (cell block, species) contribution in 3+1d: (M,) f32."""
+    def col(x):
+        return x[:, None]
+
+    def fma(*coefs_rows):
+        acc = None
+        for cc, r in coefs_rows:
+            term = col(cc) * r[None, :]
+            acc = term if acc is None else acc + term
+        return acc
+
+    a, b = d["a_lc"], d["b_lc"]
+    P = [P5[0], P5[1], P5[2], P5[3]]        # m+, px, py, m-
+    mT_row = P5[4]
+    PP = [P[0] * P[0], P[1] * P[1], P[2] * P[2], P[3] * P[3],
+          P[0] * P[1], P[0] * P[2], P[0] * P[3],
+          P[1] * P[2], P[1] * P[3], P[2] * P[3]]
+
+    # ---------------- modified branch (no eta rescale in 3+1d) -----------
+    # pt = a m+ + b m-, tau pn = a m+ - b m-:
+    # px_LRF = -Xt pt + Xx px + Xy py + Xnt (tau pn)
+    Lpx = (a * (d["Xnt"] - d["Xt"]), d["Xx"], d["Xy"],
+           -b * (d["Xt"] + d["Xnt"]))
+    Lpy = (jnp.zeros_like(a), d["Yx"], d["Yy"], jnp.zeros_like(a))
+    Lpz = (a * (d["Znt"] - d["Zt"]), jnp.zeros_like(a), jnp.zeros_like(a),
+           -b * (d["Zt"] + d["Znt"]))
+
+    Mi = d["Minv"]
+    U = []
+    for i in range(3):
+        U.append(tuple(Mi[:, i, 0] * Lpx[k] + Mi[:, i, 1] * Lpy[k]
+                       + Mi[:, i, 2] * Lpz[k] for k in range(4)))
+    qE2 = [U[0][0] * 0.0] * 10
+    for i in range(3):
+        qi = _quad10(*U[i])
+        qE2 = [q0 + q1 for q0, q1 in zip(qE2, qi)]
+    E2 = mass2_s + fma(*zip(qE2, PP))
+
+    dan_t = d["dan_t"]
+    pdd_m = fma((a * (d["dat"] + dan_t), P[0]), (d["dax"], P[1]),
+                (d["day"], P[2]), (b * (d["dat"] - dan_t), P[3]))
+
+    chem_eff = b_s * d["alphaB_eff"]
+    E_mod = jnp.sqrt(jnp.maximum(E2, 1e-30))
+    f_mod = col(d["renorm"][:, s_idx]) / (
+        jnp.exp(E_mod * col(d["invTeff"]) - col(chem_eff)) + sgn_s)
+    if cfg.outflow:
+        pdd_m = jnp.where(pdd_m > 0.0, pdd_m, 0.0)
+    value_mod = pdd_m * f_mod
+
+    # ---------------- breakdown branch ------------------------------------
+    E = fma((a * (d["ut"] - d["tun"]), P[0]), (-d["ux"], P[1]),
+            (-d["uy"], P[2]), (b * (d["ut"] + d["tun"]), P[3]))
+    pdd_b = pdd_m if not cfg.outflow else fma(
+        (a * (d["dat"] + dan_t), P[0]), (d["dax"], P[1]),
+        (d["day"], P[2]), (b * (d["dat"] - dan_t), P[3]))
+    # (pdd is branch-independent in 3+1d: same delta = y - eta_c)
+    if cfg.outflow:
+        pdd_b = jnp.where(pdd_b > 0.0, pdd_b, 0.0)
+
+    if kind == "famod":
+        feq = 1.0 / (jnp.exp(E * col(d["invT"]) - col(b_s * d["alphaB"])) + sgn_s)
+        value_b = pdd_b * feq
+    else:
+        k = d["k"]
+        # pi:pp over (pt, px, py, q=tau pn) -> light-cone PP rows
+        kq = [a * a * (k[:, 0] + k[:, 3] + k[:, 6]),          # m+m+
+              k[:, 1],                                        # pxpx
+              k[:, 2],                                        # pypy
+              b * b * (k[:, 0] + k[:, 3] - k[:, 6]),          # m-m-
+              a * (k[:, 4] + k[:, 8]),                        # m+px
+              a * (k[:, 5] + k[:, 9]),                        # m+py
+              2.0 * a * b * (k[:, 0] - k[:, 3]),              # m+m-
+              k[:, 7],                                        # pxpy
+              b * (k[:, 4] - k[:, 8]),                        # pxm-
+              b * (k[:, 5] - k[:, 9])]                        # pym-
+        pim = fma(*zip(kq, PP))
+        Vp = fma((a * (d["Vt"] - d["tVn"]), P[0]), (-d["Vx"], P[1]),
+                 (-d["Vy"], P[2]), (b * (d["Vt"] + d["tVn"]), P[3]))
+
+        if cfg.df_mode == 3:
+            chem = b_s * d["alphaB"]
+            feq = 1.0 / (jnp.exp(E * col(d["invT"]) - col(chem)) + sgn_s)
+            feqbar = 1.0 - sgn_s * feq
+            df = feqbar * (
+                col(d["shear_c"]) * pim / E
+                + (col(d["bulk0"]) * E + col(d["bulk1"]) * b_s
+                   + col(d["bulk2"]) * (E - mass2_s / E)) * col(d["bulkPi"])
+                + (col(d["ratio"]) - b_s / E) * Vp * col(d["inv_betaV"]))
+        else:
+            feq = 1.0 / (jnp.exp(E * col(d["invT"])) + sgn_s)
+            feqbar = 1.0 - sgn_s * feq
+            df = (feqbar * col(d["shear_c"]) * pim / E
+                  + col(d["delta_z_m3dl"])
+                  + feqbar * col(d["dl"]) * (E - mass2_s / E) * col(d["invT"]))
+        if cfg.regulate_deltaf:
+            df = jnp.clip(df, -1.0, 1.0)
+        value_b = pdd_b * feq * (1.0 + df)
+
+    # branch selection: breakdown OR the narrow |y - eta| < detA window
+    # (MomentumSpectra.cpp:863-871); |y - eta| = ln((pt + |tau pn|)/mT)
+    pt = fma((a, P[0]), (b, P[3]))
+    tpn = fma((a, P[0]), (-b, P[3]))
+    abs_delta = jnp.log((pt + jnp.abs(tpn)) / mT_row[None, :])
+    narrow = (col(d["detA"]) < 0.01) & (abs_delta < col(d["detA"]))
+    use_break = col(d["breaks"]) | narrow
+    value = jnp.where(use_break, value_b, value_mod)
+
+    red = d["mask"] * d["renorm_finite"][:, s_idx]
+    return jnp.sum(red[:, None] * value, axis=0)
+
+
+@partial(jax.jit, static_argnames=("cfg", "kind", "n_cell_blocks"))
+def _feqmod_fast_3d_jit(data: dict, P5, mass2, baryon, sign,
+                        cfg: Config, kind: str, n_cell_blocks: int):
+    S = P5.shape[0]
+    M_s = P5.shape[2]
+    C_total = data["mask"].shape[0]
+    blk = C_total // n_cell_blocks
+
+    def body(acc, pair):
+        cb = pair // S
+        s = pair % S
+        d = {k: (jax.lax.dynamic_slice_in_dim(v, cb * blk, blk, 0))
+             for k, v in data.items()}
+        P5_s = jax.lax.dynamic_index_in_dim(P5, s, axis=0, keepdims=False)
+        part = _one_block_3d(d, s, P5_s, mass2[s].astype(F32),
+                             baryon[s].astype(F32), sign[s].astype(F32),
+                             cfg, kind)
+        return acc.at[s].add(part.astype(jnp.float64)), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((S, M_s), jnp.float64),
+                          jnp.arange(n_cell_blocks * S))
+    return acc
+
+
 def compute_spectra_feqmod_fast(cells: CellArrays, fq_or_fm,
                                 species: SpeciesArrays,
                                 grid: MomentumGridDevice, cfg: Config,
                                 n_cell_blocks: int = 1):
-    """f32 fast feqmod/famod spectra, 2+1d.  Returns (S, NpT, Nphi, 1) f64."""
-    if cfg.dimension != 2:
-        raise ValueError("fast feqmod path implements 2+1d")
+    """f32 fast feqmod/famod spectra.  Returns (S, NpT, Nphi, Ny) f64."""
     kind = "famod" if cfg.df_mode == 5 else "feqmod"
     S = species.mass.shape[0]
     if kind == "famod":
         data = _pack_famod_fast(cells, fq_or_fm, S)
     else:
         data = _pack_feqmod_fast(cells, fq_or_fm, cfg)
-    P9 = build_P9(species, grid)
-    out = _feqmod_fast_jit(data, P9, species.mass**2, species.baryon,
-                           species.sign, grid.eta, grid.eta_weight, cfg,
-                           kind, n_cell_blocks)
     NpT = grid.pT.shape[0]
     Nphi = grid.cos_phi.shape[0]
-    out = out.reshape(S, NpT, Nphi, 1)
+    if cfg.dimension == 2:
+        P9 = build_P9(species, grid)
+        out = _feqmod_fast_jit(data, P9, species.mass**2, species.baryon,
+                               species.sign, grid.eta, grid.eta_weight, cfg,
+                               kind, n_cell_blocks)
+        out = out.reshape(S, NpT, Nphi, 1)
+    else:
+        P5 = build_P4_3d(species, grid)
+        out = _feqmod_fast_3d_jit(data, P5, species.mass**2, species.baryon,
+                                  species.sign, cfg, kind, n_cell_blocks)
+        out = out.reshape(S, NpT, Nphi, grid.y.shape[0])
     return PREFACTOR * species.degeneracy.astype(out.dtype)[:, None, None, None] * out

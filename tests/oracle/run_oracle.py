@@ -70,13 +70,21 @@ def setup_sandbox(sandbox: Path, params: dict, surface_file: Path,
     (pdg / "chosen_particles.dat").write_text(
         "\n".join(str(m) for m in chosen_mcids) + "\n")
 
-    # tables: link subdirs, make writable thermodynamic/
+    # tables: REAL directories with per-file symlinks (never symlink the
+    # directory itself -- a test replacing e.g. phi_table.dat would then
+    # write straight into the read-only reference tree), plus a writable
+    # thermodynamic/
     tables = sandbox / "tables"
     tables.mkdir(exist_ok=True)
     for sub in ("momentum", "spacetime_rapidity", "gauss"):
         dst = tables / sub
-        if not dst.exists():
-            dst.symlink_to(REF / "tables" / sub)
+        if dst.is_symlink():
+            dst.unlink()
+        dst.mkdir(exist_ok=True)
+        for f in (REF / "tables" / sub).iterdir():
+            link = dst / f.name
+            if not link.exists():
+                link.symlink_to(f)
     (tables / "thermodynamic").mkdir(exist_ok=True)
 
     dfc = sandbox / "deltaf_coefficients"

@@ -37,11 +37,11 @@ def _setup(reference_dir, df_mode, **surf_kw):
     return species_t, grids, lag, tables, surf
 
 
-def _rel_err(fast, ref):
+def _rel_err(fast, ref, thr=1e-9):
     ref = np.asarray(ref)
     fast = np.asarray(fast)
     scale = np.abs(ref).max()
-    sig = np.abs(ref) > 1e-9 * scale
+    sig = np.abs(ref) > thr * scale
     return (np.abs(fast - ref) / np.maximum(np.abs(ref), 1e-300))[sig].max()
 
 
@@ -109,3 +109,47 @@ def test_famod_fast_matches_broadcast(reference_dir):
                                        n_cell_blocks=3)
     err = _rel_err(fast, ref)
     assert err < 2e-4, f"famod fast path err {err:.2e}"
+
+
+@pytest.mark.parametrize("df_mode", [3, 4])
+def test_feqmod_fast_3plus1d(reference_dir, df_mode):
+    """3+1d light-cone fast path vs the broadcast kernel."""
+    species_t, grids, lag, tables, surf = _setup(
+        reference_dir, df_mode, dimension=3, shear_scale=0.03,
+        bulk_scale=0.01)
+    cfg = Config(operation=1, df_mode=df_mode, hrg_eos=3, dimension=3,
+                 include_shear_deltaf=1, include_bulk_deltaf=1, cell_block=32)
+    df_data = DeltafData(tables, df_mode, include_baryon=False)
+    if df_mode == 4:
+        df_data.compute_jonah_coefficients(species_t, lag,
+                                           surf.thermo_averages())
+    chosen = species_t.chosen_indices(PIKP[:4])
+    species = SpeciesArrays.from_table(species_t, chosen)
+    grid = MomentumGridDevice.from_grids(grids, cfg.dimension)
+
+    cells = prepare_cells(surf, cfg, block=32)
+    fq = prepare_feqmod(cells, species, df_data, cfg, lag)
+    ref = _spectra_feqmod_jit(cells, fq, species, grid, cfg, 3)
+    fast = compute_spectra_feqmod_fast(cells, fq, species, grid, cfg,
+                                       n_cell_blocks=3)
+    err = _rel_err(fast, ref, thr=1e-7)
+    assert err < 1e-3, f"3+1d feqmod fast err {err:.2e}"
+
+
+def test_famod_fast_3plus1d(reference_dir):
+    species_t, grids, lag, tables, surf = _setup(
+        reference_dir, 5, dimension=3, shear_scale=0.02, bulk_scale=0.005)
+    surf = make_eos_consistent(surf, species_t, lag)
+    cfg = Config(operation=1, df_mode=5, hrg_eos=3, dimension=3,
+                 include_shear_deltaf=1, include_bulk_deltaf=1, cell_block=32)
+    chosen = species_t.chosen_indices(PIKP[:4])
+    species = SpeciesArrays.from_table(species_t, chosen)
+    grid = MomentumGridDevice.from_grids(grids, cfg.dimension)
+
+    cells = prepare_cells(surf, cfg, block=32)
+    fm = prepare_famod(cells, species_t, cfg)
+    ref = _spectra_famod_jit(cells, fm, species, grid, cfg, 3)
+    fast = compute_spectra_feqmod_fast(cells, fm, species, grid, cfg,
+                                       n_cell_blocks=3)
+    err = _rel_err(fast, ref, thr=1e-7)
+    assert err < 1e-3, f"3+1d famod fast err {err:.2e}"

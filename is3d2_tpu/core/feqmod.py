@@ -173,16 +173,19 @@ def prepare_feqmod(cells: CellArrays, species: SpeciesArrays,
         if C % cand == 0 and C > cand:
             n_blocks = C // cand
             break
-    renorm = _renorm_ptm_device(
-        jnp.asarray(cells.T, f32), jnp.asarray(cells.alphaB, f32),
-        jnp.asarray(fq.T_mod, f32), jnp.asarray(fq.alphaB_mod, f32),
-        jnp.asarray(fq.bulkPi, f32), jnp.asarray(fq.bulk0, f32),
-        jnp.asarray(fq.bulk1, f32), jnp.asarray(fq.bulk2, f32),
-        jnp.asarray(species.mass, f32), jnp.asarray(species.baryon, f32),
-        jnp.asarray(species.sign, f32), jnp.asarray(species.degeneracy, f32),
-        jnp.asarray(laguerre.roots[1], f32), jnp.asarray(laguerre.weights[1], f32),
-        jnp.asarray(laguerre.roots[2], f32), jnp.asarray(laguerre.weights[2], f32),
-        n_blocks)
+    # pin to the accelerator explicitly: prepare_feqmod may be called from
+    # inside a host_prep (CPU-pinned) context, e.g. by the sampler prep
+    with jax.default_device(jax.devices()[0]):
+        renorm = _renorm_ptm_device(
+            jnp.asarray(cells.T, f32), jnp.asarray(cells.alphaB, f32),
+            jnp.asarray(fq.T_mod, f32), jnp.asarray(fq.alphaB_mod, f32),
+            jnp.asarray(fq.bulkPi, f32), jnp.asarray(fq.bulk0, f32),
+            jnp.asarray(fq.bulk1, f32), jnp.asarray(fq.bulk2, f32),
+            jnp.asarray(species.mass, f32), jnp.asarray(species.baryon, f32),
+            jnp.asarray(species.sign, f32), jnp.asarray(species.degeneracy, f32),
+            jnp.asarray(laguerre.roots[1], f32), jnp.asarray(laguerre.weights[1], f32),
+            jnp.asarray(laguerre.roots[2], f32), jnp.asarray(laguerre.weights[2], f32),
+            n_blocks)
     if cfg.dimension == 2:
         renorm = renorm / jnp.asarray(fq.detA_bulk_23, f32)[:, None]
     else:

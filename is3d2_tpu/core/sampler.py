@@ -112,10 +112,13 @@ def _fast_rates(cells, species_table, chosen_idx, fq, cfg):
     raise ValueError("fast rates support df_mode 1-4")
 
 
-def _exact_rates(cells, species: SpeciesArrays, fq, df, cfg, laguerre):
-    """dn[c,s] in exact mode (max_particle_number, ParticleSampler.cpp:164-239)."""
-    r1, w1 = jnp.asarray(laguerre.roots[1]), jnp.asarray(laguerre.weights[1])
-    r2, w2 = jnp.asarray(laguerre.roots[2]), jnp.asarray(laguerre.weights[2])
+def _exact_rates(cells, species: SpeciesArrays, breaks_down, bulkPi, z,
+                 G, F, betabulk, cfg, r1, w1, r2, w2):
+    """dn[c,s] in exact mode (max_particle_number, ParticleSampler.cpp:164-239).
+
+    Pure column arithmetic so it can run either on the host in f64 or
+    jitted on the accelerator in f32 (the (cells x species x 32) integrals
+    dominate setup wall-clock at 1e4+ cells otherwise)."""
     T = cells.T[:, None]
     mbar = species.mass[None, :] / T
     aB = cells.alphaB[:, None]
@@ -128,28 +131,29 @@ def _exact_rates(cells, species: SpeciesArrays, fq, df, cfg, laguerre):
     if cfg.df_mode in (1, 2):
         return 2.0 * neq
 
-    breaks = fq.breaks_down[:, None]
+    breaks = breaks_down[:, None]
     if cfg.df_mode == 3:
         J20_fact = T * neq_fact
         J10 = jnp.zeros_like(neq)
         if cfg.include_baryon:
             J10 = neq_fact * g * thermal.J10_integral(r1, w1, mbar, aB, b, sgn)
         J20 = J20_fact * g * thermal.J20_integral(r2, w2, mbar, aB, b, sgn)
-        bulk_density = (neq + b * J10 * df.G[:, None]
-                        + J20 * df.F[:, None] / T / T) / df.betabulk[:, None]
-        return jnp.where(breaks, 2.0 * neq, neq + fq.bulkPi[:, None] * bulk_density)
+        bulk_density = (neq + b * J10 * G[:, None]
+                        + J20 * F[:, None] / T / T) / betabulk[:, None]
+        return jnp.where(breaks, 2.0 * neq, bulkPi[:, None] * bulk_density + neq)
     if cfg.df_mode == 4:
         neq0 = neq_fact * g * thermal.neq_integral(r1, w1, mbar,
                                                    jnp.zeros_like(aB),
                                                    jnp.zeros_like(b), sgn)
-        return jnp.where(breaks, 2.0 * neq, fq.z[:, None] * neq0)
+        return jnp.where(breaks, 2.0 * neq, z[:, None] * neq0)
     raise ValueError("exact rates support df_mode 1-4")
 
 
 @host_prep
-def prepare_sampler(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
-                    df_data: DeltafData, cfg: Config, laguerre: GaussLaguerre,
-                    block: int | None = None) -> tuple[SamplerSetup, SpeciesArrays]:
+def _prepare_sampler_host(surf, species_table: SpeciesTable,
+                          chosen_idx: np.ndarray, df_data: DeltafData,
+                          cfg: Config, laguerre: GaussLaguerre,
+                          block: int | None = None):
     cells = prepare_cells(surf, cfg, block=block or cfg.cell_block)
     species = SpeciesArrays.from_table(species_table, chosen_idx)
     c = cells
@@ -187,6 +191,9 @@ def prepare_sampler(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
         "bulkPi": bulkPi,
         "delta_z_m3dl": df.delta_z - 3.0 * df.delta_lambda,
         "dl_over_T": df.delta_lambda / c.T,
+        # raw columns for the exact-rate integrals (device path)
+        "F": df.F,
+        "betabulk": df.betabulk,
     }
 
     if cfg.df_mode == 3:
@@ -210,10 +217,9 @@ def prepare_sampler(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
 
     if cfg.fast:
         rates = _fast_rates(cells, species_table, chosen_idx, fq, cfg)
+        rates = jnp.maximum(rates, 0.0) * cells.mask[:, None]
     else:
-        rates = _exact_rates(cells, species, fq, df, cfg, laguerre)
-
-    rates = jnp.maximum(rates, 0.0) * cells.mask[:, None]
+        rates = None  # filled in by prepare_sampler (host f64 / device f32)
 
     setup = SamplerSetup(
         cells=cells, fq=fq, rates=rates,
@@ -226,6 +232,50 @@ def prepare_sampler(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
                      else jnp.zeros(cells.n_padded, dtype=bool)),
     )
     return setup, species
+
+
+def prepare_sampler(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
+                    df_data: DeltafData, cfg: Config, laguerre: GaussLaguerre,
+                    block: int | None = None) -> tuple[SamplerSetup, SpeciesArrays]:
+    """Host prep + (exact mode, f32 path) device-side rate integrals."""
+    setup, species = _prepare_sampler_host(surf, species_table, chosen_idx,
+                                           df_data, cfg, laguerre, block)
+    if setup.rates is not None:
+        return setup, species
+
+    r1, w1 = jnp.asarray(laguerre.roots[1]), jnp.asarray(laguerre.weights[1])
+    r2, w2 = jnp.asarray(laguerre.roots[2]), jnp.asarray(laguerre.weights[2])
+    z = setup.fq.z if setup.fq is not None \
+        else jnp.zeros_like(setup.cells.T)
+
+    def compute(cells, species_a, breaks, bulkPi, z_a, G, F, betabulk,
+                r1a, w1a, r2a, w2a):
+        rates = _exact_rates(cells, species_a, breaks, bulkPi, z_a,
+                             G, F, betabulk, cfg, r1a, w1a, r2a, w2a)
+        return jnp.maximum(rates, 0.0) * cells.mask[:, None]
+
+    args = (setup.cells, species, setup.breaks_down,
+            setup.df_cols["bulkPi"], z, setup.df_cols["G"],
+            setup.df_cols["F"], setup.df_cols["betabulk"], r1, w1, r2, w2)
+    if cfg.compute_dtype == "f32":
+        f32 = jnp.float32
+
+        def cast(tree):
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(f32)
+                if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+                else a, tree)
+
+        rates = jax.jit(compute)(*cast(args))
+    else:
+        from ..utils import cpu_device
+        cpu = cpu_device()
+        if cpu is not None:
+            with jax.default_device(cpu):
+                rates = compute(*args)
+        else:
+            rates = compute(*args)
+    return dataclasses.replace(setup, rates=rates), species
 
 
 # ----------------------------------------------------------------------

@@ -112,9 +112,11 @@ def prepare_famod(cells: CellArrays, species_table: SpeciesTable,
                 if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
                 else a, tree)
 
-        return _prepare_famod_body(cast(cells), mass_pdg.astype(f32),
-                                   sign_pdg.astype(f32), deg_pdg.astype(f32),
-                                   cfg, cast(vah))
+        # pin to the accelerator: may be called inside a host_prep context
+        with jax.default_device(jax.devices()[0]):
+            return _prepare_famod_body(cast(cells), mass_pdg.astype(f32),
+                                       sign_pdg.astype(f32),
+                                       deg_pdg.astype(f32), cfg, cast(vah))
     return _prepare_famod_host(cells, mass_pdg, sign_pdg, deg_pdg, cfg, vah)
 
 

@@ -145,3 +145,39 @@ def test_total_yield_matches_sampled(env):
     # the estimator is the mean of the kept yield up to the viscous-weight
     # approximation; agree within ~5% + stats
     assert abs(kept - Ntot) < 0.05 * Ntot + 5.0 * np.sqrt(Ntot / n_events)
+
+
+@pytest.mark.parametrize("df_mode", [2, 3])
+def test_exact_mode_rates(env, df_mode):
+    """Exact per-cell rate integrals (fast=0, max_particle_number,
+    ParticleSampler.cpp:164-239): agree with fast mode on a narrow-T
+    surface, in both the host-f64 and device-f32 paths."""
+    species, grids, laguerre, tables, surf, plasma = env
+    df_data = DeltafData(tables, df_mode, include_baryon=False)
+    compute_particle_densities(species, df_data, laguerre, plasma)
+    chosen = species.chosen_indices(PIKP)
+    from is3d2_tpu.core.sampler import prepare_sampler
+
+    base = Config(operation=2, df_mode=df_mode, hrg_eos=3,
+                  include_shear_deltaf=1, include_bulk_deltaf=1, cell_block=64)
+    import dataclasses as dc
+    setups = {}
+    for tag, kw in (("fast", {"fast": 1}),
+                    ("exact64", {"fast": 0, "compute_dtype": "f64"}),
+                    ("exact32", {"fast": 0, "compute_dtype": "f32"})):
+        cfg = dc.replace(base, **kw)
+        setup, sp = prepare_sampler(surf, species, chosen, df_data, cfg,
+                                    laguerre)
+        setups[tag] = np.asarray(setup.rates, dtype=np.float64)
+
+    # f32 device path == f64 host path to f32 accuracy
+    mask = setups["exact64"] > 0
+    rel = np.abs(setups["exact32"] - setups["exact64"])[mask] \
+        / setups["exact64"][mask]
+    assert rel.max() < 1e-4, f"exact f32 vs f64 rates: {rel.max():.2e}"
+
+    # exact rates at per-cell T vs fast rates at T_avg: same ballpark
+    # (narrow temperature spread on the test surface)
+    tot_exact = setups["exact64"].sum()
+    tot_fast = setups["fast"].sum()
+    assert abs(tot_exact / tot_fast - 1.0) < 0.2

@@ -121,6 +121,15 @@ def _dN_dX_jit(cells: CellArrays, aux, species: SpeciesArrays,
     return acc
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _scatter_dN_jit(dN_cell, cells: CellArrays, cfg: Config):
+    """Scatter (C, S) per-cell dN/dy into the (tau, r, phi_s) bins."""
+    itau, ir, iphi = _bin_indices(cells, cfg)
+    return (_scatter(dN_cell, itau, cfg.tau_bins, cells.mask),
+            _scatter(dN_cell, ir, cfg.r_bins, cells.mask),
+            _scatter(dN_cell, iphi, cfg.phip_bins, cells.mask))
+
+
 def compute_dN_dX(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
                   grids: MomentumGrids, df_data: DeltafData, cfg: Config,
                   laguerre: GaussLaguerre | None = None,
@@ -136,12 +145,28 @@ def compute_dN_dX(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
     species = SpeciesArrays.from_table(species_table, chosen_idx)
     grid = MomentumGridDevice.from_grids(grids, cfg.dimension)
 
+    fast = cfg.compute_dtype == "f32" and cfg.dimension == 2
     if cfg.df_mode in (1, 2):
         aux = df12_dX_cell_coefficients(cells, df_data, cfg)
-        acc = _dN_dX_jit(cells, aux, species, grid, cfg, n_blocks, "df12")
+        if fast:
+            from .spectra_fast import compute_dN_dy_cells_fast
+            S = species.mass.shape[0]
+            n_sp = next(b for b in (8, 4, 2, 1) if S % b == 0)
+            dN_cell = compute_dN_dy_cells_fast(cells, aux, species, grid,
+                                               cfg, n_blocks,
+                                               n_species_blocks=n_sp)
+            acc = _scatter_dN_jit(dN_cell, cells, cfg)
+        else:
+            acc = _dN_dX_jit(cells, aux, species, grid, cfg, n_blocks, "df12")
     else:
         fq = prepare_feqmod(cells, species, df_data, cfg, laguerre)
-        acc = _dN_dX_jit(cells, fq, species, grid, cfg, n_blocks, "feqmod")
+        if fast:
+            from .spectra_feqmod_fast import compute_dN_dy_cells_feqmod_fast
+            dN_cell = compute_dN_dy_cells_feqmod_fast(cells, fq, species,
+                                                      grid, cfg, n_blocks)
+            acc = _scatter_dN_jit(dN_cell, cells, cfg)
+        else:
+            acc = _dN_dX_jit(cells, fq, species, grid, cfg, n_blocks, "feqmod")
 
     tau_w = (cfg.tau_max - cfg.tau_min) / cfg.tau_bins
     r_w = (cfg.r_max - cfg.r_min) / cfg.r_bins

@@ -194,62 +194,66 @@ def _cell_Q(cells: CellArrays, coeffs: dict, dtype):
     return per_cell
 
 
-def _block_fast(q: dict, mom, eta, eta_w, cfg: Config, acc_dtype):
-    """One cell block: loop eta points, MXU contractions + fused VPU chain,
-    cell reduction via mask-row matmul.  Returns (M,) partial spectra."""
+def _value_at_eta(q: dict, mom, cosh_e, sinh_e, cfg: Config):
+    """Weighted df 1/2 integrand value (C, M) at one 2+1d eta point."""
     mT_m, px_m, py_m, mass2_m, b_m, sgn_m = mom
-    C = q["invT"].shape[0]
+    P = [mT_m * cosh_e, px_m, py_m, mT_m * sinh_e]
+
+    E = _contract(q["Q_E"], P)                            # (C, M)
+    pdd = _contract(q["Q_d"], P)
+
+    if cfg.include_shear_deltaf:
+        PP = [P[0] * P[0], P[1] * P[1], P[2] * P[2], P[3] * P[3],
+              P[0] * P[1], P[0] * P[2], P[0] * P[3],
+              P[1] * P[2], P[1] * P[3], P[2] * P[3]]
+        pim = _contract(q["Q_pi"], PP)
+    else:
+        pim = 0.0
+
+    if cfg.include_baryon and cfg.include_baryondiff_deltaf:
+        Vp = _contract(q["Q_V"], P)
+    else:
+        Vp = 0.0
+
+    a = E * q["invT"][:, None] - q["alphaB"][:, None] * b_m[None, :]
+    feq = 1.0 / (jnp.exp(a) + sgn_m[None, :])
+    feqbar = 1.0 - sgn_m[None, :] * feq
+
+    if cfg.df_mode == 1:
+        df = (q["shear"][:, None] * pim
+              + q["bulk0"][:, None] * mass2_m[None, :]
+              + (q["bulk1"][:, None] * b_m[None, :]
+                 + q["bulk2"][:, None] * E) * E)
+        if cfg.include_baryon and cfg.include_baryondiff_deltaf:
+            df = df + (q["diff0"][:, None] * b_m[None, :]
+                       + q["diff1"][:, None] * E) * Vp
+    else:
+        df = (q["shear"][:, None] * pim / E
+              + q["bulk0"][:, None] * E
+              + q["bulk1"][:, None] * b_m[None, :]
+              + q["bulk2"][:, None] * (E - mass2_m[None, :] / E))
+        if cfg.include_baryon and cfg.include_baryondiff_deltaf:
+            df = df + (q["diff0"][:, None]
+                       - q["diff1"][:, None] * b_m[None, :] / E) * Vp
+    df = feqbar * df
+    if cfg.regulate_deltaf:
+        df = jnp.clip(df, -1.0, 1.0)
+    if cfg.outflow:
+        pdd = jnp.where(pdd > 0.0, pdd, 0.0)
+
+    return pdd * (feq * (1.0 + df))                       # (C, M)
+
+
+def _block_fast(q: dict, mom, eta, eta_w, cfg: Config, acc_dtype):
+    """One cell block: loop eta points, contractions + fused VPU chain,
+    cell reduction.  Returns (M,) partial spectra."""
+    mT_m = mom[0]
     M = mT_m.shape[0]
 
     def one_eta(carry, ew):
         acc = carry
         cosh_e, sinh_e, w_e = ew
-        # P rows for this eta point
-        P = [mT_m * cosh_e, px_m, py_m, mT_m * sinh_e]
-
-        E = _contract(q["Q_E"], P)                            # (C, M)
-        pdd = _contract(q["Q_d"], P)
-
-        if cfg.include_shear_deltaf:
-            PP = [P[0] * P[0], P[1] * P[1], P[2] * P[2], P[3] * P[3],
-                  P[0] * P[1], P[0] * P[2], P[0] * P[3],
-                  P[1] * P[2], P[1] * P[3], P[2] * P[3]]
-            pim = _contract(q["Q_pi"], PP)
-        else:
-            pim = 0.0
-
-        if cfg.include_baryon and cfg.include_baryondiff_deltaf:
-            Vp = _contract(q["Q_V"], P)
-        else:
-            Vp = 0.0
-
-        a = E * q["invT"][:, None] - q["alphaB"][:, None] * b_m[None, :]
-        feq = 1.0 / (jnp.exp(a) + sgn_m[None, :])
-        feqbar = 1.0 - sgn_m[None, :] * feq
-
-        if cfg.df_mode == 1:
-            df = (q["shear"][:, None] * pim
-                  + q["bulk0"][:, None] * mass2_m[None, :]
-                  + (q["bulk1"][:, None] * b_m[None, :]
-                     + q["bulk2"][:, None] * E) * E)
-            if cfg.include_baryon and cfg.include_baryondiff_deltaf:
-                df = df + (q["diff0"][:, None] * b_m[None, :]
-                           + q["diff1"][:, None] * E) * Vp
-        else:
-            df = (q["shear"][:, None] * pim / E
-                  + q["bulk0"][:, None] * E
-                  + q["bulk1"][:, None] * b_m[None, :]
-                  + q["bulk2"][:, None] * (E - mass2_m[None, :] / E))
-            if cfg.include_baryon and cfg.include_baryondiff_deltaf:
-                df = df + (q["diff0"][:, None]
-                           - q["diff1"][:, None] * b_m[None, :] / E) * Vp
-        df = feqbar * df
-        if cfg.regulate_deltaf:
-            df = jnp.clip(df, -1.0, 1.0)
-        if cfg.outflow:
-            pdd = jnp.where(pdd > 0.0, pdd, 0.0)
-
-        value = pdd * (feq * (1.0 + df))                      # (C, M)
+        value = _value_at_eta(q, mom, cosh_e, sinh_e, cfg)
         # cell reduction: fused f32 multiply + reduce (a DEFAULT-precision
         # mask matmul would round the values to bf16 on TPU)
         partial = jnp.sum(q["mask"][:, None] * value, axis=0)
@@ -262,6 +266,78 @@ def _block_fast(q: dict, mom, eta, eta_w, cfg: Config, acc_dtype):
                                           sinh.astype(mT_m.dtype),
                                           eta_w.astype(acc_dtype)))
     return acc
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_blocks", "n_m_blocks"))
+def _dNdy_cells_fast_jit(per_cell: dict, mom, w_m, eta, eta_w, cfg: Config,
+                         n_blocks: int, n_m_blocks: int):
+    """Per-cell, per-species dN/dy for operation 0 (dN/dX): the same df 1/2
+    integrand, reduced over the momentum axis (pT, phi weights) instead of
+    over cells.  Returns (C_total, S) f64."""
+    C_total = per_cell["invT"].shape[0]
+    blk = C_total // n_blocks
+    M = mom[0].shape[0]
+    m_blk = M // n_m_blocks
+    # w_m: (S_total, M1) per-species momentum weights
+    S_total = w_m.shape[0]
+    S_blk = S_total // n_m_blocks
+    M1 = M // S_total              # points per species (NpT * Nphi)
+
+    def body(acc, ij):
+        i = ij // n_m_blocks
+        j = ij % n_m_blocks
+        q = {k: jax.lax.dynamic_slice_in_dim(v, i * blk, blk, 0)
+             for k, v in per_cell.items()}
+        mom_j = tuple(jax.lax.dynamic_slice_in_dim(a, j * m_blk, m_blk, 0)
+                      for a in mom)
+        wj = jax.lax.dynamic_slice_in_dim(w_m, j * S_blk, S_blk, 0)  # (S_blk, M1)
+
+        def one_eta(carry, ew):
+            acc_e = carry
+            cosh_e, sinh_e, w_e = ew
+            value = _value_at_eta(q, mom_j, cosh_e, sinh_e, cfg)
+            v3 = value.reshape(blk, S_blk, M1)
+            part = jnp.einsum("csm,sm->cs", v3, wj)
+            return acc_e + (w_e * part).astype(jnp.float64), None
+
+        cosh = jnp.cosh(eta)
+        sinh = -jnp.sinh(eta)
+        part_cs, _ = jax.lax.scan(
+            one_eta, jnp.zeros((blk, S_blk), jnp.float64),
+            (cosh.astype(mom[0].dtype), sinh.astype(mom[0].dtype),
+             eta_w.astype(jnp.float64)))
+        return jax.lax.dynamic_update_slice(
+            acc, jax.lax.dynamic_slice(acc, (i * blk, j * S_blk),
+                                       (blk, S_blk)) + part_cs,
+            (i * blk, j * S_blk)), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((C_total, S_total), jnp.float64),
+                          jnp.arange(n_blocks * n_m_blocks))
+    return acc
+
+
+def compute_dN_dy_cells_fast(cells: CellArrays, coeffs: dict,
+                             species: SpeciesArrays, grid: MomentumGridDevice,
+                             cfg: Config, n_blocks: int,
+                             n_species_blocks: int = 1) -> jnp.ndarray:
+    """(C, S) per-cell dN/dy via the f32 fast integrand (df 1/2, 2+1d), for
+    the spacetime distributions (SpacetimeDistribution.cpp:330-404)."""
+    if cfg.df_mode not in (1, 2) or cfg.dimension != 2:
+        raise ValueError("fast dN/dy implements df 1/2, 2+1d")
+    S = species.mass.shape[0]
+    if S % n_species_blocks != 0:
+        raise ValueError("n_species_blocks must divide the species count")
+    per_cell = _cell_Q(cells, coeffs, jnp.float32)
+    mom = momentum_matrix(species, grid, jnp.float32)
+    w_pf = (grid.pT_weight[:, None] * grid.phi_weight[None, :]).reshape(-1)
+    w_m = jnp.broadcast_to(w_pf[None, :].astype(jnp.float32),
+                           (S, w_pf.shape[0]))
+    dN = _dNdy_cells_fast_jit(per_cell, mom, w_m,
+                              grid.eta.astype(jnp.float32),
+                              grid.eta_weight, cfg, n_blocks,
+                              n_species_blocks)
+    from .spectra import PREFACTOR
+    return dN * PREFACTOR * species.degeneracy[None, :]
 
 
 def _block_fast_3d(q: dict, mom, cfg: Config, acc_dtype):

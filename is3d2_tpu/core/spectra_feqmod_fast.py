@@ -158,8 +158,15 @@ def _pack_famod_fast(cells: CellArrays, fm, n_species: int):
 
 
 def _one_eta_block(d, s_idx, P9_s, mass2_s, b_s, sgn_s, eta_e, w_e,
-                   cfg: Config, kind: str):
-    """Contribution of one (cell block, species, eta point): (M_s,) f32."""
+                   cfg: Config, kind: str, dan_weighted: bool = False,
+                   w_m=None):
+    """Contribution of one (cell block, species, eta point).
+
+    Default: reduce over cells -> (M_s,) spectra partial.  With w_m given:
+    reduce over momentum with those weights -> (C,) per-cell dN/dy partial
+    (operation 0).  dan_weighted selects the p.dsigma eta-weight convention
+    (spectra: dan term unweighted, MomentumSpectra.cpp:936; dN/dX: all terms
+    weighted, SpacetimeDistribution.cpp:1022)."""
     C = d["mask"].shape[0]
 
     def col(x):
@@ -209,8 +216,8 @@ def _one_eta_block(d, s_idx, P9_s, mass2_s, b_s, sgn_s, eta_e, w_e,
     E2 = mass2_s + fma((q1, P9_s[3]), (q2, P9_s[4]), (q3, P9_s[5]),
                        (q4, P9_s[6]), (q5, P9_s[7]), (q6, P9_s[8]))
 
-    if kind == "famod":
-        # famod: weight applies to the whole p.dsigma
+    if kind == "famod" or dan_weighted:
+        # weight applies to the whole p.dsigma
         pdd_m = fma((w_e * (ch * d["dat"] - sh * d["dan_t"]), P9_s[0]),
                     (w_e * d["dax"], P9_s[1]), (w_e * d["day"], P9_s[2]))
     else:
@@ -231,7 +238,7 @@ def _one_eta_block(d, s_idx, P9_s, mass2_s, b_s, sgn_s, eta_e, w_e,
     shb = jnp.sinh(eta_e)
     E = fma((chb * d["ut"] + shb * d["tun"], P9_s[0]),
             (-d["ux"], P9_s[1]), (-d["uy"], P9_s[2]))
-    if kind == "famod":
+    if kind == "famod" or dan_weighted:
         pdd_b = fma((w_e * (chb * d["dat"] - shb * d["dan_t"]), P9_s[0]),
                     (w_e * d["dax"], P9_s[1]), (w_e * d["day"], P9_s[2]))
     else:
@@ -274,6 +281,11 @@ def _one_eta_block(d, s_idx, P9_s, mass2_s, b_s, sgn_s, eta_e, w_e,
 
     value = jnp.where(col(d["breaks"]), value_b, value_mod)
 
+    if w_m is not None:
+        # operation 0: per-cell momentum reduction (finite-renorm species
+        # skip applied; the cell mask is applied at scatter time)
+        return jnp.sum(value * w_m[None, :], axis=1) \
+            * d["renorm_finite"][:, s_idx]
     # cell reduction with the finite-renorm mask folded in (VPU reduce:
     # a DEFAULT-precision mask matmul would round the values to bf16)
     red = d["mask"] * d["renorm_finite"][:, s_idx]
@@ -514,3 +526,59 @@ def compute_spectra_feqmod_fast(cells: CellArrays, fq_or_fm,
                                   species.sign, cfg, kind, n_cell_blocks)
         out = out.reshape(S, NpT, Nphi, grid.y.shape[0])
     return PREFACTOR * species.degeneracy.astype(out.dtype)[:, None, None, None] * out
+
+
+@partial(jax.jit, static_argnames=("cfg", "kind", "n_cell_blocks"))
+def _feqmod_dNdy_jit(data: dict, P9, w_m, mass2, baryon, sign, eta, eta_w,
+                     cfg: Config, kind: str, n_cell_blocks: int):
+    """Per-cell dN/dy for operation 0, feqmod integrand: (C_total, S) f64."""
+    S = P9.shape[0]
+    C_total = data["mask"].shape[0]
+    blk = C_total // n_cell_blocks
+    eta32 = eta.astype(F32)
+    eta_w32 = eta_w.astype(F32)
+
+    def body(acc, pair):
+        cb = pair // S
+        s = pair % S
+        d = {k: (jax.lax.dynamic_slice_in_dim(v, cb * blk, blk, 0))
+             for k, v in data.items()}
+        P9_s = jax.lax.dynamic_index_in_dim(P9, s, axis=0, keepdims=False)
+
+        def eta_body(acc_e, ew):
+            e_val, w_val = ew
+            part = _one_eta_block(d, s, P9_s, mass2[s].astype(F32),
+                                  baryon[s].astype(F32), sign[s].astype(F32),
+                                  e_val, w_val, cfg, kind,
+                                  dan_weighted=True, w_m=w_m)
+            return acc_e + part.astype(jnp.float64), None
+
+        part_c, _ = jax.lax.scan(eta_body, jnp.zeros(blk, jnp.float64),
+                                 (eta32, eta_w32))
+        return jax.lax.dynamic_update_slice(
+            acc, jax.lax.dynamic_slice(acc, (cb * blk, s), (blk, 1))
+            + part_c[:, None], (cb * blk, s)), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((C_total, S), jnp.float64),
+                          jnp.arange(n_cell_blocks * S))
+    return acc
+
+
+def compute_dN_dy_cells_feqmod_fast(cells: CellArrays, fq,
+                                    species: SpeciesArrays,
+                                    grid: MomentumGridDevice, cfg: Config,
+                                    n_cell_blocks: int = 1):
+    """(C, S) per-cell dN/dy via the f32 feqmod fast integrand (df 3/4,
+    2+1d), for the spacetime distributions
+    (SpacetimeDistribution.cpp:520-1250)."""
+    if cfg.dimension != 2 or cfg.df_mode not in (3, 4):
+        raise ValueError("fast feqmod dN/dy implements df 3/4, 2+1d")
+    S = species.mass.shape[0]
+    data = _pack_feqmod_fast(cells, fq, cfg)
+    P9 = build_P9(species, grid)
+    w_m = (grid.pT_weight[:, None]
+           * grid.phi_weight[None, :]).reshape(-1).astype(F32)
+    dN = _feqmod_dNdy_jit(data, P9, w_m, species.mass**2, species.baryon,
+                          species.sign, grid.eta, grid.eta_weight, cfg,
+                          "feqmod", n_cell_blocks)
+    return dN * PREFACTOR * species.degeneracy[None, :]

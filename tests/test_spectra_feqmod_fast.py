@@ -153,3 +153,31 @@ def test_famod_fast_3plus1d(reference_dir):
                                        n_cell_blocks=3)
     err = _rel_err(fast, ref, thr=1e-7)
     assert err < 1e-3, f"3+1d famod fast err {err:.2e}"
+
+
+@pytest.mark.parametrize("df_mode", [1, 2, 3, 4])
+def test_dNdX_fast_matches_broadcast(reference_dir, df_mode):
+    """Operation-0 fast per-cell dN/dy path vs the broadcast kernel."""
+    import dataclasses as dc
+    from is3d2_tpu.core.spacetime import compute_dN_dX
+    species_t, grids, lag, tables, surf = _setup(
+        reference_dir, df_mode, shear_scale=0.03, bulk_scale=0.01)
+    base = Config(operation=0, df_mode=df_mode, hrg_eos=3,
+                  include_shear_deltaf=1, include_bulk_deltaf=1,
+                  cell_block=32)
+    df_data = DeltafData(tables, df_mode, include_baryon=False)
+    if df_mode == 4:
+        df_data.compute_jonah_coefficients(species_t, lag,
+                                           surf.thermo_averages())
+    chosen = species_t.chosen_indices(PIKP[:3])
+
+    ref = compute_dN_dX(surf, species_t, chosen, grids, df_data,
+                        dc.replace(base, compute_dtype="f64"), lag)
+    fast = compute_dN_dX(surf, species_t, chosen, grids, df_data,
+                         dc.replace(base, compute_dtype="f32"), lag)
+    for name in ("dN_taudtaudy", "dN_twopirdrdy", "dN_dphidy"):
+        a = getattr(fast, name)
+        b = getattr(ref, name)
+        sig = np.abs(b) > 1e-8 * np.abs(b).max()
+        rel = (np.abs(a - b) / np.maximum(np.abs(b), 1e-300))[sig]
+        assert rel.max() < 2e-4, f"{name} df{df_mode}: {rel.max():.2e}"

@@ -59,10 +59,14 @@ def measure_oracle_evals_per_sec(tmp: Path) -> float:
         evals = 600 * 3 * 51 * 1 * 24  # default tables: 1 phi point
         rate = evals / max(secs, 1e-9)
         log(f"oracle: {secs:.3f}s for {evals:.3e} evals -> {rate:.3e} evals/s")
-        return rate
+        # the burstable 1-core host runs this binary anywhere between
+        # 4.2e5 and 1.9e7 evals/s depending on CPU credit; grant the
+        # baseline its fastest observed mode so vs_baseline is stable and
+        # conservative
+        return max(rate, 1.9e7)
     except Exception as e:  # no compiler / no reference checkout
         log(f"oracle baseline unavailable ({e}); using cached host measurement")
-        return 4.2e5  # single-thread g++ -O2 rate measured on this host (1 core, 2.1 GHz)
+        return 1.9e7  # fastest single-thread g++ -O2 mode observed on this host
 
 
 def main():

@@ -76,3 +76,21 @@ def test_event_histograms_and_observables(reference_dir, tmp_path):
     assert obs["Qn"].shape[1] == 8
     # pions dominate any HRG event sample
     assert obs["dN_dy_pion"].mean() >= obs["dN_dy_proton"].mean()
+
+
+def test_sweep_harness(reference_dir, tmp_path):
+    """Parameter-sweep matrix (scripts/modified_distribution equivalent)."""
+    from is3d2_tpu.tools.sweep import run_sweep
+    wd = _workdir(tmp_path, {"operation": 1, "df_mode": 1, "hrg_eos": 3},
+                  reference_dir)
+    out = run_sweep(wd, df_names=("grad", "ce"), corr_names=("none", "shear"))
+    assert len(out) == 4
+    for (df, corr), d in out.items():
+        f = d / "dN_2pipTdpTdy_211.dat"
+        assert f.exists()
+        vals = np.loadtxt(f)[:, 2]
+        assert np.isfinite(vals).all() and (vals > 0).any()
+    # shear correction must actually change the spectra
+    a = np.loadtxt(out[("grad", "none")] / "dN_2pipTdpTdy_211.dat")[:, 2]
+    b = np.loadtxt(out[("grad", "shear")] / "dN_2pipTdpTdy_211.dat")[:, 2]
+    assert np.abs(a - b).max() > 0

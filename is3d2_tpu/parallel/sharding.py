@@ -190,3 +190,79 @@ def sharded_spectra(cells: CellArrays, coeffs: dict, species: SpeciesArrays,
         return jax.lax.psum(acc, axis_name="cells")
 
     return run(cells, coeffs, species, grid)
+
+
+_FEQMOD_SAFE_FILLS = {"invT": 6.5, "invTeff": 6.5, "ut": 1.0, "tau": 1.0,
+                      "eta_scale": 1.0, "detA": 1.0, "a_lc": 0.5,
+                      "b_lc": 0.5, "inv_betaV": 1.0}
+
+
+def sharded_spectra_feqmod_fast(cells: CellArrays, fq_or_fm,
+                                species: SpeciesArrays,
+                                grid: MomentumGridDevice, cfg: Config,
+                                mesh: Mesh, block: int = 512):
+    """feqmod/famod f32 fast path (df 3/4/5, 2+1d) sharded over
+    ("cells", "species").
+
+    The packed per-cell columns shard over cells; the per-species P9 basis,
+    species scalars and the (cells, species) renormalization shard over
+    species.  Cell reduction = psum over ICI, mirroring sharded_spectra_fast.
+    """
+    from ..core.spectra_feqmod_fast import (_pack_feqmod_fast,
+                                            _pack_famod_fast, build_P9,
+                                            _feqmod_fast_jit)
+    from ..core.spectra import PREFACTOR
+
+    if cfg.dimension != 2:
+        raise ValueError("sharded feqmod fast path implements 2+1d")
+    kind = "famod" if cfg.df_mode == 5 else "feqmod"
+    n_cell_shards = mesh.shape["cells"]
+    n_sp_shards = mesh.shape["species"]
+
+    S0 = species.mass.shape[0]
+    species = pad_species(species, n_sp_shards)
+    S = species.mass.shape[0]
+
+    if kind == "famod":
+        data = _pack_famod_fast(cells, fq_or_fm, S0)
+    else:
+        data = _pack_feqmod_fast(cells, fq_or_fm, cfg)
+
+    # pad the species axis of the per-(cell, species) columns
+    for k in ("renorm", "renorm_finite"):
+        data[k] = _pad_axis(data[k], S, axis=1, fill=0.0)
+
+    # pad the cell axis to a multiple of n_cell_shards * block with fills
+    # that keep every exp/div finite on masked padding rows
+    n = cells.n_padded
+    unit = n_cell_shards * block
+    n_target = ((n + unit - 1) // unit) * unit
+    data = {k: _pad_axis(v, n_target, axis=0,
+                         fill=_FEQMOD_SAFE_FILLS.get(k, 0.0))
+            for k, v in data.items()}
+
+    P9 = build_P9(species, grid)                      # (S, 9, M1)
+    mass2 = species.mass ** 2
+    local_cells = n_target // n_cell_shards
+    n_blocks = max(local_cells // min(block, local_cells), 1)
+    NpT = grid.pT.shape[0]
+    Nphi = grid.cos_phi.shape[0]
+
+    data_spec = {k: (P("cells", "species")
+                     if k in ("renorm", "renorm_finite") else P("cells"))
+                 for k in data}
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(data_spec, P("species"), P("species"), P("species"),
+                       P("species"), P(), P()),
+             out_specs=P("species"), check_vma=False)
+    def run(data_l, P9_l, m2_l, b_l, sgn_l, eta_l, eta_w_l):
+        flat = _feqmod_fast_jit(data_l, P9_l, m2_l, b_l, sgn_l, eta_l,
+                                eta_w_l, cfg, kind, n_blocks)
+        flat = jax.lax.psum(flat, axis_name="cells")
+        return flat.reshape(-1, NpT, Nphi, 1)
+
+    out = run(data, P9, mass2, species.baryon, species.sign,
+              grid.eta, grid.eta_weight)
+    out = PREFACTOR * species.degeneracy.astype(out.dtype)[:, None, None, None] * out
+    return out[:S0]

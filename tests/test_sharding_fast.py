@@ -61,3 +61,51 @@ def test_sharded_fast_matches_single(reference_dir, mesh_shape):
     err = (np.abs(out[:S] - single) / np.maximum(np.abs(single), 1e-300))[sig].max()
     # f32 reductions reassociate across the shard boundary
     assert err < 1e-5, f"max rel err {err:.2e}"
+
+
+@pytest.mark.parametrize("df_mode,mesh_shape", [(3, (8, 1)), (3, (4, 2)),
+                                                (5, (4, 2))])
+def test_sharded_feqmod_fast_matches_single(reference_dir, df_mode, mesh_shape):
+    from is3d2_tpu.io.tables import GaussLaguerre
+    from is3d2_tpu.core.feqmod import prepare_feqmod
+    from is3d2_tpu.core.spectra_famod import prepare_famod
+    from is3d2_tpu.core.spectra_feqmod_fast import compute_spectra_feqmod_fast
+    from is3d2_tpu.parallel.sharding import sharded_spectra_feqmod_fast
+    from surfgen import make_eos_consistent
+
+    species_t = read_pdg(3, reference_dir / "PDG")
+    grids = MomentumGrids.from_dir(reference_dir / "tables")
+    phi48 = load_table(reference_dir / "tables/all_tables/phi/phi_gauss_table_48pt.dat")
+    grids.phi, grids.phi_weight = phi48[:, 0], phi48[:, 1]
+    lag = GaussLaguerre.from_file(reference_dir / "tables/gauss/gla_roots_weights.txt")
+    tables = DeltafTables.load(3, include_baryon=False,
+                               base_dir=reference_dir / "deltaf_coefficients/vh")
+    surf = make_surface(96, seed=23, shear_scale=0.03, bulk_scale=0.01)
+    cfg = Config(operation=1, df_mode=df_mode, hrg_eos=3,
+                 include_shear_deltaf=1, include_bulk_deltaf=1,
+                 cell_block=16, compute_dtype="f32")
+    df_data = DeltafData(tables, df_mode, include_baryon=False)
+    chosen = species_t.chosen_indices(SPECIES8)
+    species = SpeciesArrays.from_table(species_t, chosen)
+    grid = MomentumGridDevice.from_grids(grids, cfg.dimension)
+
+    if df_mode == 5:
+        surf = make_eos_consistent(surf, species_t, lag)
+    cells = prepare_cells(surf, cfg, block=16)
+    if df_mode == 5:
+        prep = prepare_famod(cells, species_t, cfg)
+    else:
+        prep = prepare_feqmod(cells, species, df_data, cfg, lag)
+
+    single = np.asarray(compute_spectra_feqmod_fast(
+        cells, prep, species, grid, cfg, n_cell_blocks=cells.n_padded // 16))
+
+    mesh = make_mesh(mesh_shape[0], mesh_shape[1])
+    out = np.asarray(sharded_spectra_feqmod_fast(cells, prep, species, grid,
+                                                 cfg, mesh, block=16))
+
+    S = len(SPECIES8)
+    scale = np.abs(single).max()
+    sig = np.abs(single) > 1e-10 * scale
+    err = (np.abs(out[:S] - single) / np.maximum(np.abs(single), 1e-300))[sig].max()
+    assert err < 1e-5, f"df{df_mode} sharded feqmod err {err:.2e}"

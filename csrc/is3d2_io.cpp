@@ -40,13 +40,19 @@ static inline bool is_ws(char c) {
   return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\v';
 }
 
-// parse one chunk [begin, end) of the buffer into vals
+// parse one chunk [begin, end) of the buffer into vals.
+// '#' starts a comment running to end-of-line (numpy.loadtxt semantics) —
+// numerals inside comments must not be parsed as data.
 static void parse_chunk(const char *begin, const char *end,
                         std::vector<double> *vals) {
   const char *p = begin;
   while (p < end) {
     while (p < end && is_ws(*p)) p++;
     if (p >= end) break;
+    if (*p == '#') {  // comment: skip to end of line
+      while (p < end && *p != '\n') p++;
+      continue;
+    }
     char *next = nullptr;
     double v = strtod(p, &next);
     if (next == p) { p++; continue; }  // skip unparsable byte
@@ -69,10 +75,14 @@ long long i3d_count_rows(const char *path, long long *n_cols_out) {
     bool has_token = false;
     long long line_cols = 0;
     while (p < end && *p != '\n') {
+      if (*p == '#') {  // comment: rest of line is not data
+        while (p < end && *p != '\n') p++;
+        break;
+      }
       if (!is_ws(*p)) {
         has_token = true;
         line_cols++;
-        while (p < end && *p != '\n' && !is_ws(*p)) p++;
+        while (p < end && *p != '\n' && !is_ws(*p) && *p != '#') p++;
       } else {
         p++;
       }
@@ -99,13 +109,15 @@ long long i3d_parse(const char *path, double *out, long long capacity) {
   if (n_threads > 16) n_threads = 16;
   if (size < (size_t)1 << 20) n_threads = 1;
 
-  // split at token boundaries (advance each split point to next whitespace)
+  // split at LINE boundaries: a comment runs to end-of-line, so chunk
+  // boundaries must never fall inside a line or a '#'-comment's tail would
+  // be parsed as data by the next thread
   std::vector<const char *> splits(n_threads + 1);
   splits[0] = buf;
   splits[n_threads] = buf + size;
   for (unsigned t = 1; t < n_threads; t++) {
     const char *p = buf + (size * t) / n_threads;
-    while (p < buf + size && !is_ws(*p)) p++;
+    while (p < buf + size && *p != '\n') p++;
     splits[t] = p;
   }
 

@@ -129,8 +129,8 @@ class Config:
     def validate(self) -> None:
         if self.operation not in (0, 1, 2):
             raise ValueError("operation must be 0, 1 or 2")
-        if self.mode not in (0, 1, 2, 3, 5, 6, 7):
-            raise ValueError("mode must be one of 0-3, 5, 6, 7")
+        if self.mode not in (0, 1, 2, 3, 4, 5, 6, 7):
+            raise ValueError("mode must be one of 0-7")
         if self.hrg_eos not in (1, 2, 3):
             raise ValueError("hrg_eos must be 1, 2 or 3")
         if self.dimension not in (2, 3):

@@ -353,11 +353,15 @@ class ParticleList:
 
 
 def _rejection_loop(key, mbar, mbar2, sign, chem, light, weq_max,
-                    max_rounds: int):
+                    max_rounds: int, count_mask=None):
     """All-lanes rejection rounds until every lane accepted (or max_rounds).
     Proposal math runs in f32 (the draws feed f32-exact comparisons; accepted
     kinematics are upcast by the caller); returns dimensionless
-    (accepted, pbar, Ebar, phi2pi, costh, feq)."""
+    (accepted, pbar, Ebar, phi2pi, costh, feq, n_prop, n_acc).
+
+    n_prop / n_acc count proposals and acceptances on ``count_mask`` lanes
+    (the reference's samples / acceptances counters,
+    ParticleSampler.cpp:676-677, 1133)."""
     f32 = jnp.float32
     mbar = mbar.astype(f32)
     mbar2 = mbar2.astype(f32)
@@ -365,9 +369,11 @@ def _rejection_loop(key, mbar, mbar2, sign, chem, light, weq_max,
     chem = chem.astype(f32)
     weq_max = weq_max.astype(f32)
     n = mbar.shape[0]
+    if count_mask is None:
+        count_mask = jnp.ones(n, dtype=bool)
 
     def body(state):
-        rnd, key, accepted, pbar, Ebar, phi2pi, costh, feq = state
+        rnd, key, accepted, pbar, Ebar, phi2pi, costh, feq, n_prop, n_acc = state
         key, k1 = jax.random.split(key)
         u = jax.random.uniform(k1, (9, n), dtype=f32)
         r1, r2, r3 = 1.0 - u[0], 1.0 - u[1], 1.0 - u[2]
@@ -419,12 +425,15 @@ def _rejection_loop(key, mbar, mbar2, sign, chem, light, weq_max,
         feq_new = jnp.where(light, feq_l, feq_h)
 
         acc_now = (u[6] < w) & ~accepted
+        n_prop = n_prop + jnp.sum((~accepted & count_mask).astype(jnp.float64))
+        n_acc = n_acc + jnp.sum((acc_now & count_mask).astype(jnp.float64))
         pbar = jnp.where(acc_now, pbar_new, pbar)
         Ebar = jnp.where(acc_now, Ebar_new, Ebar)
         phi2pi = jnp.where(acc_now, phi_new, phi2pi)
         costh = jnp.where(acc_now, cos_new, costh)
         feq = jnp.where(acc_now, feq_new, feq)
-        return (rnd + 1, key, accepted | acc_now, pbar, Ebar, phi2pi, costh, feq)
+        return (rnd + 1, key, accepted | acc_now, pbar, Ebar, phi2pi, costh,
+                feq, n_prop, n_acc)
 
     def cond(state):
         rnd = state[0]
@@ -432,14 +441,16 @@ def _rejection_loop(key, mbar, mbar2, sign, chem, light, weq_max,
         return (rnd < max_rounds) & ~jnp.all(accepted)
 
     zeros = jnp.zeros(n, f32)
+    zero_ct = jnp.zeros((), jnp.float64)
     state = (jnp.asarray(0), key, jnp.zeros(n, dtype=bool),
-             zeros, jnp.ones(n, f32), zeros, zeros, zeros)
-    _, _, accepted, pbar, Ebar, phi2pi, costh, feq = \
+             zeros, jnp.ones(n, f32), zeros, zeros, zeros, zero_ct, zero_ct)
+    _, _, accepted, pbar, Ebar, phi2pi, costh, feq, n_prop, n_acc = \
         jax.lax.while_loop(cond, body, state)
-    return accepted, pbar, Ebar, phi2pi, costh, feq
+    return accepted, pbar, Ebar, phi2pi, costh, feq, n_prop, n_acc
 
 
-def _sample_momentum(key, mass, sign, T, chem, rounds_phase1: int = 10,
+def _sample_momentum(key, mass, sign, T, chem, count_mask=None,
+                     rounds_phase1: int = 10,
                      rounds_phase2: int = 200, straggler_frac: int = 4):
     """Vectorized rejection sampling of the LRF momentum
     (sample_momentum, ParticleSampler.cpp:243-405).
@@ -449,30 +460,37 @@ def _sample_momentum(key, mass, sign, T, chem, rounds_phase1: int = 10,
     a few full-width rounds accept the bulk, then the stragglers are
     compacted into an n/straggler_frac buffer that iterates to completion.
     Statistically identical (each lane still draws independent proposals
-    until its own first acceptance).  Returns (E, px, py, pz, feq, accepted)
-    in GeV.
+    until its own first acceptance).  Returns
+    (E, px, py, pz, feq, accepted, n_prop, n_acc) in GeV; n_prop/n_acc are
+    the acceptance-efficiency counters over ``count_mask`` lanes.
     """
     mbar = mass / T
     mbar2 = mbar * mbar
     n = mass.shape[0]
+    if count_mask is None:
+        count_mask = jnp.ones(n, dtype=bool)
 
     light = mbar < 1.008
     use_pion_rescale = (mbar < 0.8554) & (sign == -1.0)
     weq_max = jnp.where(use_pion_rescale, pion_thermal_weight_max(mbar), 1.0)
 
     key1, key2 = jax.random.split(key)
-    accepted, pbar, Ebar, phi2pi, costh, feq = _rejection_loop(
-        key1, mbar, mbar2, sign, chem, light, weq_max, rounds_phase1)
+    accepted, pbar, Ebar, phi2pi, costh, feq, n_prop, n_acc = _rejection_loop(
+        key1, mbar, mbar2, sign, chem, light, weq_max, rounds_phase1,
+        count_mask)
 
     # compact stragglers (fixed-size; overflow lanes simply stay unaccepted
-    # and are dropped by the keep mask -- probability ~ (1-w)^phase1 > 1/frac)
+    # and are dropped by the keep mask -- probability ~ (1-w)^phase1 > 1/frac;
+    # the dropped-lane count is reported by the caller)
     m = n // straggler_frac
     idx = jnp.nonzero(~accepted, size=m, fill_value=0)[0]
     was_straggler = ~accepted[idx]
 
-    acc2, pbar2, Ebar2, phi2, cos2, feq2 = _rejection_loop(
+    acc2, pbar2, Ebar2, phi2, cos2, feq2, n_prop2, n_acc2 = _rejection_loop(
         key2, mbar[idx], mbar2[idx], sign[idx], chem[idx], light[idx],
-        weq_max[idx], rounds_phase2)
+        weq_max[idx], rounds_phase2, count_mask[idx] & was_straggler)
+    n_prop = n_prop + n_prop2
+    n_acc = n_acc + n_acc2
 
     def put(base, new):
         return base.at[idx].set(jnp.where(was_straggler, new.astype(base.dtype),
@@ -492,7 +510,7 @@ def _sample_momentum(key, mass, sign, T, chem, rounds_phase1: int = 10,
     px = p * sinth * jnp.cos(phi)
     py = p * sinth * jnp.sin(phi)
     pz = p * costh
-    return E, px, py, pz, feq, accepted
+    return E, px, py, pz, feq, accepted, n_prop, n_acc
 
 
 def _gather(a, idx):
@@ -586,7 +604,8 @@ def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
         T_s = gf("T_mod")
         chem_s = chem_mod
 
-    E0, px0, py0, pz0, feq, mom_ok = _sample_momentum(k_mom, mass, sign, T_s, chem_s)
+    E0, px0, py0, pz0, feq, mom_ok, n_prop, n_acc = _sample_momentum(
+        k_mom, mass, sign, T_s, chem_s, count_mask=valid)
 
     pixx, pixy, pixz = gf("pixx"), gf("pixy"), gf("pixz")
     piyy, piyz, pizz = gf("piyy"), gf("piyz"), gf("pizz")
@@ -711,15 +730,32 @@ def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
         "py": plab_y,
         "pz": pz_lab,
         "rapidity": rap,
-        "overflow": jnp.sum(counts) > capacity,
+        "total": total,
+        "overflow": total > capacity,
+        # diagnostics (ParticleSampler.cpp:1133 efficiency; dropped lanes
+        # are straggler-buffer overflow, see _sample_momentum)
+        "mom_proposals": n_prop,
+        "mom_acceptances": n_acc,
+        "drawn": jnp.sum(valid.astype(jnp.int64)),
+        "kept": jnp.sum(keep.astype(jnp.int64)),
+        "dropped": jnp.sum((valid & ~mom_ok).astype(jnp.int64)),
     }
 
 
 def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
                      df_data: DeltafData, cfg: Config, laguerre: GaussLaguerre,
                      n_events: int, seed: int | None = None,
-                     capacity: int | None = None):
-    """Run the sampler; returns the raw per-hadron dict (device arrays)."""
+                     capacity: int | None = None, report=None):
+    """Run the sampler; returns the raw per-hadron dict (device arrays).
+
+    If the Poisson total overflows the flat-hadron capacity (a >6-sigma
+    fluctuation, or a caller-forced small capacity), the run is retried with
+    the capacity grown to the drawn total -- the RNG key is unchanged, so
+    the Poisson counts (and thus the physics) are identical to a
+    right-sized first attempt.  ``report`` (report.RunReport) collects the
+    sampling-efficiency counters the reference prints
+    (ParticleSampler.cpp:1133).
+    """
     if cfg.df_mode == 5:
         from .sampler_famod import prepare_sampler_famod
         setup, species = prepare_sampler_famod(surf, species_table, chosen_idx,
@@ -755,9 +791,34 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
     setup = dataclasses.replace(cast(setup), rates=rates64)
     species = cast(species)
 
-    out = _sample_hadrons_jit(setup, species, mcid, key, cfg, capacity, n_events)
-    if bool(out["overflow"]):
-        raise RuntimeError("sampler capacity overflow; increase capacity")
+    retries = 0
+    while True:
+        out = _sample_hadrons_jit(setup, species, mcid, key, cfg, capacity,
+                                  n_events)
+        if not bool(out["overflow"]):
+            break
+        # grow to the actual Poisson total (known exactly from the failed
+        # attempt: the counts depend only on the key and rates) + margin
+        total = int(out["total"])
+        capacity = total + max(total // 64, 1024)
+        retries += 1
+        print(f"sampler capacity overflow (total {total}); retrying with "
+              f"capacity {capacity}", flush=True)
+        if retries > 4:
+            raise RuntimeError("sampler capacity overflow persists after "
+                               f"{retries} retries (total {total})")
+
+    if report is not None:
+        report.n_cells = surf.n_cells
+        report.mom_proposals = int(out["mom_proposals"])
+        report.mom_acceptances = int(out["mom_acceptances"])
+        report.hadrons_drawn = int(out["drawn"])
+        report.hadrons_kept = int(out["kept"])
+        report.dropped_lanes = int(out["dropped"])
+        report.sampler_capacity_retries = retries
+        if cfg.df_mode in (3, 4, 5):
+            report.record_breakdown(setup.breaks_down, setup.cells.tau,
+                                    setup.cells.mask)
     return out
 
 

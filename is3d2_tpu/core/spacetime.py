@@ -133,7 +133,8 @@ def _scatter_dN_jit(dN_cell, cells: CellArrays, cfg: Config):
 def compute_dN_dX(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
                   grids: MomentumGrids, df_data: DeltafData, cfg: Config,
                   laguerre: GaussLaguerre | None = None,
-                  cell_block: int | None = None) -> SpacetimeDistributions:
+                  cell_block: int | None = None,
+                  report=None) -> SpacetimeDistributions:
     cfg.validate()
     if cfg.df_mode == 5:
         raise ValueError("no spacetime distribution routine for famod "
@@ -141,6 +142,9 @@ def compute_dN_dX(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
     block = cell_block or cfg.cell_block
     cells = prepare_cells(surf, cfg, block=block)
     n_blocks = max(cells.n_padded // min(block, cells.n_padded), 1)
+    if report is not None:
+        report.n_cells = surf.n_cells
+        report.skipped_cells = surf.n_cells - int(np.asarray(cells.mask).sum())
 
     species = SpeciesArrays.from_table(species_table, chosen_idx)
     grid = MomentumGridDevice.from_grids(grids, cfg.dimension)
@@ -160,6 +164,8 @@ def compute_dN_dX(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
             acc = _dN_dX_jit(cells, aux, species, grid, cfg, n_blocks, "df12")
     else:
         fq = prepare_feqmod(cells, species, df_data, cfg, laguerre)
+        if report is not None:
+            report.record_breakdown(fq.breaks_down, cells.tau, cells.mask)
         if fast:
             from .spectra_feqmod_fast import compute_dN_dy_cells_feqmod_fast
             dN_cell = compute_dN_dy_cells_feqmod_fast(cells, fq, species,

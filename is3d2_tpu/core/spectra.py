@@ -280,10 +280,13 @@ def _spectra_df12_jit(cells: CellArrays, coeffs: dict, species: SpeciesArrays,
 def compute_spectra(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
                     grids: MomentumGrids, df_data: DeltafData, cfg: Config,
                     laguerre: GaussLaguerre | None = None,
-                    cell_block: int | None = None) -> np.ndarray:
+                    cell_block: int | None = None,
+                    report=None) -> np.ndarray:
     """Continuous spectra dN/(pT dpT dphi dy), shape (S, NpT, Nphi, Ny).
 
-    Dispatcher over df modes (EmissionFunction.cpp:1198-1226).
+    Dispatcher over df modes (EmissionFunction.cpp:1198-1226).  ``report``
+    (a report.RunReport) collects the breakdown counters the reference
+    prints (MomentumSpectra.cpp:1039-1040, 1674-1678).
     """
     cfg.validate()
     block = min(cell_block or cfg.cell_block, 1 << 30)
@@ -297,6 +300,9 @@ def compute_spectra(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
         cells_cfg = cfg
     cells = prepare_cells(surf, cells_cfg, block=block)
     n_blocks = max(cells.n_padded // min(block, cells.n_padded), 1)
+    if report is not None:
+        report.n_cells = surf.n_cells
+        report.skipped_cells = surf.n_cells - int(np.asarray(cells.mask).sum())
 
     species = SpeciesArrays.from_table(species_table, chosen_idx)
     grid = MomentumGridDevice.from_grids(grids, cfg.dimension)
@@ -329,6 +335,8 @@ def compute_spectra(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
         from .feqmod import prepare_feqmod
         from .spectra_feqmod import _spectra_feqmod_jit
         fq = prepare_feqmod(cells, species, df_data, cfg, laguerre)
+        if report is not None:
+            report.record_breakdown(fq.breaks_down, cells.tau, cells.mask)
         if cfg.compute_dtype == "f32":
             # quadratic-form FMA kernel (f32 compute, f64 accumulation)
             from .spectra_feqmod_fast import compute_spectra_feqmod_fast
@@ -340,6 +348,10 @@ def compute_spectra(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
         from .spectra_famod import prepare_famod, _spectra_famod_jit, vah_from_surface
         vah = vah_from_surface(surf, cells.n_padded)
         fm = prepare_famod(cells, species_table, cfg, vah)
+        if report is not None:
+            report.record_breakdown(fm.breaks_down, cells.tau, cells.mask,
+                                    pl_negative=fm.pl_negative,
+                                    recon_failed=fm.recon_failed)
         if cfg.compute_dtype == "f32":
             from .spectra_feqmod_fast import compute_spectra_feqmod_fast
             out = compute_spectra_feqmod_fast(cells, fm, species, grid, cfg,

@@ -55,6 +55,9 @@ class FamodCellData:
     eta_scale: jnp.ndarray
     renorm: jnp.ndarray        # eta_scale / detC
     breaks_down: jnp.ndarray   # bool
+    # diagnostics (MONITOR_FAMOD counters, MomentumSpectra.cpp:1674-1678)
+    pl_negative: jnp.ndarray   # bool: pl < 0 or pt < 0
+    recon_failed: jnp.ndarray  # bool: Newton reconstruction failure
 
 
 def reconstruction_species(table: SpeciesTable, max_species: int = 320):
@@ -147,10 +150,12 @@ def _prepare_famod_body(cells: CellArrays, mass_pdg, sign_pdg, deg_pdg,
         zeros = jnp.zeros_like(pl)
         piTxx = piTxy = piTyy = WTzx = WTzy = zeros
 
+    pl_negative = (pl < 0) | (pt < 0)
     if vah is not None:
         # legacy VAH surface: (Lambda, aT, aL) are given (modes 2/3)
         lam, aT, aL = vah["lam"], vah["aT"], vah["aL"]
-        breaks = (lam <= 0.0) | (aT <= 0.0) | (aL <= 0.0)
+        recon_failed = (lam <= 0.0) | (aT <= 0.0) | (aL <= 0.0)
+        breaks = recon_failed
         upsilonB = vah["upsilonB_over_lam"]
     else:
         # reconstruct anisotropic variables from the equilibrium guess;
@@ -158,7 +163,8 @@ def _prepare_famod_body(cells: CellArrays, mass_pdg, sign_pdg, deg_pdg,
         sol = find_anisotropic_variables(c.E, pl, pt, c.T,
                                          jnp.ones_like(c.T), jnp.ones_like(c.T),
                                          mass_pdg, sign_pdg, deg_pdg)
-        breaks = sol.failed | (pl < 0) | (pt < 0)
+        recon_failed = sol.failed
+        breaks = recon_failed | pl_negative
         lam, aT, aL = sol.lam, sol.aT, sol.aL
         upsilonB = c.alphaB
     betapiperp, betaWperp = compute_famod_coefficients(lam, aT, aL, mass_pdg,
@@ -222,7 +228,8 @@ def _prepare_famod_body(cells: CellArrays, mass_pdg, sign_pdg, deg_pdg,
         lam=lam, aT=aT, aL=aL, upsilonB=upsilonB,
         Bxx=Bxx, Bxy=Bxy, Bxz=Bxz, Byy=Byy, Byz=Byz, Bzz=Bzz,
         Binv=Binv, detB=detB, eta_scale=eta_scale, renorm=renorm,
-        breaks_down=breaks,
+        breaks_down=breaks, pl_negative=pl_negative,
+        recon_failed=recon_failed,
     )
 
 

@@ -32,6 +32,7 @@ from .core.polarization import compute_polarization
 from .core.sampler import (compute_total_yield, number_of_events,
                            sample_particles, to_particle_list)
 from .core.sampler_hist import bin_sampled_particles
+from .report import RunReport, check_invariants
 
 
 class IS3D:
@@ -51,6 +52,7 @@ class IS3D:
         self.final_particles = None
         self.spectra = None
         self.histograms = None
+        self.report = RunReport()
 
     # ------------------------------------------------------------------
     def load_surface_from_file(self, path: str | Path | None = None) -> None:
@@ -110,10 +112,19 @@ class IS3D:
         results = self.workdir / "results"
         mcids = [int(self.species.mc_id[i]) for i in self.chosen_idx]
 
+        report = self.report
+        report.n_cells = self.surface.n_cells
+        # tensor-algebra self-checks, always on in the reference
+        # (LocalRestFrame.cpp:43-71, 115-131, 164-171)
+        report.invariants = check_invariants(
+            self.surface, include_baryondiff=bool(cfg.include_baryon
+                                                  and cfg.include_baryondiff_deltaf))
+
         if cfg.operation == 0:
             print("computing spacetime distributions dN/dX ...", flush=True)
             dX = compute_dN_dX(self.surface, self.species, self.chosen_idx,
-                               self.grids, self.df_data, cfg, self.laguerre)
+                               self.grids, self.df_data, cfg, self.laguerre,
+                               report=report)
             self.dN_dX = dX
             if write:
                 output.write_dN_dX(results, mcids, dX, cfg)
@@ -122,7 +133,8 @@ class IS3D:
             print("computing continuous momentum spectra ...", flush=True)
             spectra = compute_spectra(self.surface, self.species,
                                       self.chosen_idx, self.grids,
-                                      self.df_data, cfg, self.laguerre)
+                                      self.df_data, cfg, self.laguerre,
+                                      report=report)
             self.spectra = spectra
             if write:
                 output.write_spectra(results, mcids, spectra, self.grids,
@@ -145,7 +157,8 @@ class IS3D:
                   f"sampling {n_events} events")
 
             out = sample_particles(self.surface, self.species, self.chosen_idx,
-                                   self.df_data, cfg, self.laguerre, n_events)
+                                   self.df_data, cfg, self.laguerre, n_events,
+                                   report=report)
             if cfg.test_sampler:
                 self.histograms = bin_sampled_particles(out, len(mcids), cfg,
                                                         n_events)
@@ -171,4 +184,5 @@ class IS3D:
                 output.write_polarization(results, St, Sx, Sy, Sn, Snorm,
                                           self.grids, cfg.dimension)
 
+        report.print()
         print(f"Particlization took {time.time() - t0:.3f} seconds")

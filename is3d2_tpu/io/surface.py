@@ -17,6 +17,9 @@ Supported formats (``mode``):
           from the conformal factorization fit  (readindata.cu:812-930)
   3     : legacy VAH (P_L, P_T)-matching with explicit (Lambda, a_T, a_L)
           columns                               (readindata.cu:932-1055)
+  4     : MUSIC old (private), boost-invariant: tau-scaled dsigma/u/pi
+          columns, P reconstructed from the entropy-density column
+          P = s.T - E                           (readindata.cu:551-686)
   6     : MUSIC public, tau-scaled columns      (readindata.cpp:372-567)
   7     : HIC-EventGen, 2+1d velocity columns   (readindata.cpp:570-729)
 
@@ -346,6 +349,42 @@ def _read_vah_plpt_match(cols: np.ndarray, include_baryon: bool,
     return s
 
 
+def _read_music_old(cols: np.ndarray, dimension: int) -> SurfaceData:
+    """Old (private) MUSIC boost-invariant format (readindata.cu:551-686):
+    [tau x y eta | dsigma_mu/tau (4) | u^t ux uy tau.u^eta | E T muB s |
+    pi^munu (10, tau-scaled *n components) | bulkPi], raw hbar=1 units.
+    P is reconstructed from the entropy column as P = s.T - E."""
+    n = cols.shape[0]
+    s = SurfaceData.zeros(n)
+    tau = cols[:, 0]
+    s.tau, s.x, s.y, s.eta = tau, cols[:, 1], cols[:, 2], cols[:, 3]
+    # covariant normal vector, cornelius writes dsigma_mu / tau
+    s.dat = cols[:, 4] * tau
+    s.dax = cols[:, 5] * tau
+    s.day = cols[:, 6] * tau
+    s.dan = cols[:, 7] * tau
+    if dimension == 2:
+        # reference zeroes dsigma_eta on boost-invariant surfaces
+        # (readindata.cu:588-593)
+        s.dan = np.zeros(n)
+    # col 8 is u^t (recomputed from normalization internally)
+    s.ux, s.uy = cols[:, 9], cols[:, 10]
+    s.un = cols[:, 11] / tau
+    s.E = cols[:, 12] * hbarC
+    T = cols[:, 13] * hbarC
+    s.T = T
+    s.muB = cols[:, 14] * hbarC
+    s.P = cols[:, 15] * T - s.E        # P = s.T - E (readindata.cu:615-616)
+    # pi^tt tx ty tau.tn  xx xy tau.xn  yy tau.yn  tau2.nn (16..25)
+    s.pixx = cols[:, 20] * hbarC
+    s.pixy = cols[:, 21] * hbarC
+    s.pixn = cols[:, 22] * hbarC / tau
+    s.piyy = cols[:, 23] * hbarC
+    s.piyn = cols[:, 24] * hbarC / tau
+    s.bulkPi = cols[:, 26] * hbarC
+    return s
+
+
 def _read_music(cols: np.ndarray, include_baryon: bool) -> SurfaceData:
     n = cols.shape[0]
     s = SurfaceData.zeros(n)
@@ -413,10 +452,12 @@ def read_surface(path: str | Path, mode: int, dimension: int,
                  include_baryon: bool) -> SurfaceData:
     """Read input/surface.dat in the format selected by ``mode``.
 
-    Uses a single vectorized np.loadtxt pass (the reference streams cell by
-    cell with operator>>, readindata.cpp:219-352).
+    Uses a single vectorized pass through the threaded native parser
+    (production MUSIC surfaces are 100s of MB of text; the reference streams
+    cell by cell with operator>>, readindata.cpp:219-352).
     """
-    cols = np.loadtxt(path, dtype=np.float64, ndmin=2)
+    from .fastio import load_table_fast
+    cols = load_table_fast(path)
     if mode == 0:
         s = _read_vh_old(cols, include_baryon, include_baryon)
     elif mode in (1, 5):
@@ -425,6 +466,8 @@ def read_surface(path: str | Path, mode: int, dimension: int,
         s = _read_vah_pl_match(cols)
     elif mode == 3:
         s = _read_vah_plpt_match(cols, include_baryon, include_baryon)
+    elif mode == 4:
+        s = _read_music_old(cols, dimension)
     elif mode == 6:
         s = _read_music(cols, include_baryon)
     elif mode == 7:
@@ -434,7 +477,7 @@ def read_surface(path: str | Path, mode: int, dimension: int,
             raise ValueError("HIC-EventGen has no baryon chemical potential (set include_baryon = 0)")
         s = _read_hic_eventgen(cols)
     else:
-        raise ValueError(f"unknown surface mode {mode} (supported: 0-3,5,6,7)")
+        raise ValueError(f"unknown surface mode {mode} (supported: 0-7)")
     if dimension == 2:
         _enforce_boost_invariance(s)
     return s

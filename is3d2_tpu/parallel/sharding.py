@@ -110,6 +110,7 @@ def sharded_spectra_fast(cells: CellArrays, coeffs: dict,
     n_cell_shards = mesh.shape["cells"]
     n_sp_shards = mesh.shape["species"]
 
+    S0 = species.mass.shape[0]
     cells, coeffs = pad_cells_for_mesh(cells, coeffs, n_cell_shards, block)
     species = pad_species(species, n_sp_shards)
 
@@ -143,7 +144,8 @@ def sharded_spectra_fast(cells: CellArrays, coeffs: dict,
         return flat.reshape(-1, NpT, Nphi, 1)
 
     out = run(per_cell, mom_2d, eta, eta_w)
-    return PREFACTOR * species.degeneracy.astype(out.dtype)[:, None, None, None] * out
+    out = PREFACTOR * species.degeneracy.astype(out.dtype)[:, None, None, None] * out
+    return out[:S0]
 
 
 def sharded_spectra(cells: CellArrays, coeffs: dict, species: SpeciesArrays,
@@ -156,6 +158,7 @@ def sharded_spectra(cells: CellArrays, coeffs: dict, species: SpeciesArrays,
     n_cell_shards = mesh.shape["cells"]
     n_sp_shards = mesh.shape["species"]
 
+    S0 = species.mass.shape[0]
     cells, coeffs = pad_cells_for_mesh(cells, coeffs, n_cell_shards, block)
     species = pad_species(species, n_sp_shards)
 
@@ -189,7 +192,7 @@ def sharded_spectra(cells: CellArrays, coeffs: dict, species: SpeciesArrays,
         # the reference's per-core slab reduction -> one psum over ICI
         return jax.lax.psum(acc, axis_name="cells")
 
-    return run(cells, coeffs, species, grid)
+    return run(cells, coeffs, species, grid)[:S0]
 
 
 _FEQMOD_SAFE_FILLS = {"invT": 6.5, "invTeff": 6.5, "ut": 1.0, "tau": 1.0,

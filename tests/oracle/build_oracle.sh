@@ -14,4 +14,10 @@ SRCS=$(ls "$REF"/src/cpp/*.cpp)
 g++ -O2 -std=c++11 -I "$HERE/gslshim" -I "$REF/src/cpp" \
     $SRCS -o "$OUT/iS3D_oracle" -lm
 
-echo "built $OUT/iS3D_oracle"
+# rate probe: reference sources minus Main.cpp + our probe main, to call
+# max_particle_number (ParticleSampler.cpp:164-239) directly
+PROBE_SRCS=$(ls "$REF"/src/cpp/*.cpp | grep -v Main.cpp)
+g++ -O2 -std=c++11 -I "$HERE/gslshim" -I "$REF/src/cpp" \
+    $PROBE_SRCS "$HERE/probe_rates.cpp" -o "$OUT/probe_rates" -lm
+
+echo "built $OUT/iS3D_oracle + $OUT/probe_rates"

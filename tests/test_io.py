@@ -151,3 +151,57 @@ def test_chosen_particles(reference_dir):
     chosen = load_table(reference_dir / "PDG/chosen_particles.dat")[:, 0].astype(int)
     idx = table.chosen_indices(chosen)
     assert list(table.mc_id[idx]) == list(chosen)
+
+
+def test_fastio_comment_semantics(tmp_path):
+    """The native parser must treat '#'-to-EOL as comments like loadtxt —
+    even when the comment contains exactly n_cols numeric tokens (which
+    would defeat the token-count-mismatch fallback)."""
+    from is3d2_tpu.io.fastio import load_table_fast
+
+    p = tmp_path / "table.dat"
+    p.write_text(
+        "# 9 9 9\n"              # full-line comment with numerals
+        "1.0 2.0 3.0\n"
+        "4.0 5.0 6.0 # 7 8 9\n"  # trailing comment with n_cols numerals
+        "7.0 8.0 9.0\n")
+    out = load_table_fast(p)
+    ref = np.loadtxt(p, ndmin=2)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_surface_reader_mode4_old_music(tmp_path):
+    """Mode 4 (old private MUSIC, readindata.cu:551-686): tau-scaled dsigma,
+    u^eta and pi^*n columns; P reconstructed as s.T - E; dsigma_eta zeroed
+    for boost-invariant surfaces."""
+    tau = 2.0
+    # tau x y eta | dsig/tau (4) | ut ux uy tau.un | E T muB s | pi (10) | Pi
+    row = [tau, 0.5, -0.3, 0.7,
+           0.11, 0.02, 0.03, 0.04,
+           1.1, 0.2, 0.1, 0.3,
+           1.4, 0.76, 0.05, 2.5,
+           0.0, 0.0, 0.0, 0.01,
+           0.002, 0.003, 0.004, 0.005, 0.006, 0.007,
+           -0.02]
+    p = tmp_path / "surface.dat"
+    p.write_text(" ".join(f"{v:.17g}" for v in row) + "\n")
+
+    s = read_surface(p, mode=4, dimension=2, include_baryon=False)
+    assert s.n_cells == 1
+    assert s.tau[0] == tau and s.eta[0] == 0.0
+    np.testing.assert_allclose(s.dat[0], 0.11 * tau)
+    np.testing.assert_allclose(s.dax[0], 0.02 * tau)
+    assert s.dan[0] == 0.0                      # zeroed in 2+1d
+    np.testing.assert_allclose(s.un[0], 0.3 / tau)
+    np.testing.assert_allclose(s.E[0], 1.4 * hbarC)
+    np.testing.assert_allclose(s.T[0], 0.76 * hbarC)
+    np.testing.assert_allclose(s.muB[0], 0.05 * hbarC)
+    np.testing.assert_allclose(s.P[0], 2.5 * (0.76 * hbarC) - 1.4 * hbarC)
+    np.testing.assert_allclose(s.pixx[0], 0.002 * hbarC)
+    np.testing.assert_allclose(s.pixn[0], 0.004 * hbarC / tau)
+    np.testing.assert_allclose(s.piyn[0], 0.006 * hbarC / tau)
+    np.testing.assert_allclose(s.bulkPi[0], -0.02 * hbarC)
+
+    s3 = read_surface(p, mode=4, dimension=3, include_baryon=False)
+    np.testing.assert_allclose(s3.dan[0], 0.04 * tau)   # kept in 3+1d
+    assert s3.eta[0] == 0.7

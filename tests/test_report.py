@@ -1,0 +1,120 @@
+"""Observability parity: the diagnostics the reference always prints
+(MomentumSpectra.cpp:1039-1040, 1674-1678; ParticleSampler.cpp:1133;
+LocalRestFrame.cpp:43-71) plus the sampler capacity auto-retry."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+from surfgen import make_surface
+
+from is3d2_tpu.config import Config
+from is3d2_tpu.io.pdg import read_pdg
+from is3d2_tpu.io.tables import GaussLaguerre, MomentumGrids
+from is3d2_tpu.io.deltaf_tables import DeltafTables
+from is3d2_tpu.physics.deltaf import DeltafData, compute_particle_densities
+from is3d2_tpu.core.spectra import compute_spectra
+from is3d2_tpu.core.sampler import sample_particles
+from is3d2_tpu.report import RunReport, check_invariants
+
+PIKP = (111, 321, 2212)
+
+
+@pytest.fixture(scope="module")
+def env(reference_dir):
+    species = read_pdg(3, reference_dir / "PDG")
+    grids = MomentumGrids.from_dir(reference_dir / "tables")
+    laguerre = GaussLaguerre.from_file(
+        reference_dir / "tables/gauss/gla_roots_weights.txt")
+    tables = DeltafTables.load(3, include_baryon=False,
+                               base_dir=reference_dir / "deltaf_coefficients/vh")
+    surf = make_surface(60, seed=3, shear_scale=0.03, bulk_scale=0.01)
+    plasma = surf.thermo_averages()
+    return species, grids, laguerre, tables, surf, plasma
+
+
+def test_invariant_checks_clean_surface(env):
+    _, _, _, _, surf, _ = env
+    inv = check_invariants(surf)
+    for name, (val, tol) in inv.items():
+        assert val <= tol, f"{name}: {val} > {tol}"
+
+
+def test_invariant_violation_is_reported():
+    rep = RunReport(n_cells=10)
+    rep.invariants = {"pi.u orthogonality": (1.0e-3, 1.0e-15)}
+    lines = rep.lines()
+    assert any("pi.u orthogonality violated" in l for l in lines)
+
+
+def test_breakdown_counters_feqmod(env):
+    species, grids, laguerre, tables, surf, plasma = env
+    # a huge bulk pressure drives detA below detA_min on most cells
+    import copy
+    surf_bad = copy.deepcopy(surf)
+    surf_bad.bulkPi = surf_bad.bulkPi - 0.6 * surf_bad.P
+
+    cfg = Config(operation=1, df_mode=3, hrg_eos=3, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, cell_block=64)
+    df_data = DeltafData(tables, 3, include_baryon=False)
+    compute_particle_densities(species, df_data, laguerre, plasma)
+    chosen = species.chosen_indices(PIKP)
+
+    rep = RunReport()
+    compute_spectra(surf_bad, species, chosen, grids, df_data, cfg, laguerre,
+                    report=rep)
+    assert rep.n_cells == surf.n_cells
+    assert rep.breakdown_cells is not None and rep.breakdown_cells > 0
+    assert rep.tau_breakdown > 0.0
+    assert any("feqmod breaks down" in l for l in rep.lines())
+
+
+def test_sampler_efficiency_counters(env):
+    species, grids, laguerre, tables, surf, plasma = env
+    cfg = Config(operation=2, df_mode=1, hrg_eos=3, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, fast=1, sampler_seed=5, y_cut=5.0,
+                 cell_block=64)
+    df_data = DeltafData(tables, 1, include_baryon=False)
+    compute_particle_densities(species, df_data, laguerre, plasma)
+    chosen = species.chosen_indices(PIKP)
+
+    rep = RunReport()
+    out = sample_particles(surf, species, chosen, df_data, cfg, laguerre,
+                           n_events=200, seed=5, report=rep)
+    assert rep.hadrons_drawn > 0
+    assert 0 < rep.hadrons_kept <= rep.hadrons_drawn
+    assert rep.mom_proposals >= rep.hadrons_drawn
+    # every valid lane should accept within the rejection budget here
+    assert rep.mom_acceptances >= rep.hadrons_drawn - rep.dropped_lanes
+    eff = rep.mom_acceptances / rep.mom_proposals
+    assert 0.05 < eff <= 1.0
+    assert rep.dropped_lanes == 0
+    assert any("Momentum sampling efficiency" in l for l in rep.lines())
+
+
+def test_sampler_capacity_auto_retry(env):
+    """A forced-too-small capacity must grow and complete, and the result
+    must equal a right-sized run with the same seed (same Poisson draw)."""
+    species, grids, laguerre, tables, surf, plasma = env
+    cfg = Config(operation=2, df_mode=1, hrg_eos=3, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, fast=1, sampler_seed=5, y_cut=5.0,
+                 cell_block=64)
+    df_data = DeltafData(tables, 1, include_baryon=False)
+    compute_particle_densities(species, df_data, laguerre, plasma)
+    chosen = species.chosen_indices(PIKP)
+
+    rep = RunReport()
+    out_small = sample_particles(surf, species, chosen, df_data, cfg, laguerre,
+                                 n_events=100, seed=5, capacity=64, report=rep)
+    assert rep.sampler_capacity_retries >= 1
+    out_ref = sample_particles(surf, species, chosen, df_data, cfg, laguerre,
+                               n_events=100, seed=5)
+    assert int(out_small["total"]) == int(out_ref["total"])
+    k1 = np.asarray(out_small["keep"])
+    k2 = np.asarray(out_ref["keep"])
+    n = min(k1.shape[0], k2.shape[0])
+    assert int(k1.sum()) == int(k2.sum())

@@ -45,8 +45,10 @@ def _hist(sp_idx, values, lo, width, nbins, S, keep, weights=None):
     return out.at[flat].add(w).reshape(S, nbins)
 
 
-def bin_sampled_particles(out: dict, S: int, cfg: Config,
-                          n_events: int) -> SampledHistograms:
+def bin_histograms_device(out: dict, S: int, cfg: Config) -> dict:
+    """Jittable full histogram set over the flat hadron axis -> dict of jnp
+    arrays.  Shared by the single-chip binner and the event-sharded sampler
+    (the psum'd analog of the reference's per-process histogram files)."""
     keep = out["keep"]
     sp = out["sp_idx"]
 
@@ -81,16 +83,23 @@ def bin_sampled_particles(out: dict, S: int, cfg: Config,
         vn_imag.append(_hist(sp, pT, cfg.pT_min, pT_w, cfg.pT_bins, S, keep,
                              weights=jnp.sin(k * phip)))
 
+    return {
+        "dN_dy": dN_dy,
+        "dN_deta": dN_deta,
+        "dN_2pipTdpTdy": dN_pT,
+        "dN_dphipdy": dN_phip,
+        "pT_count": pT_count,
+        "vn_real": jnp.stack(vn_real),
+        "vn_imag": jnp.stack(vn_imag),
+        "dN_taudtaudy": dN_tau,
+        "dN_2pirdrdy": dN_r,
+        "dN_dphisdy": dN_phis,
+    }
+
+
+def bin_sampled_particles(out: dict, S: int, cfg: Config,
+                          n_events: int) -> SampledHistograms:
+    h = bin_histograms_device(out, S, cfg)
     return SampledHistograms(
         n_events=n_events,
-        dN_dy=np.asarray(dN_dy),
-        dN_deta=np.asarray(dN_deta),
-        dN_2pipTdpTdy=np.asarray(dN_pT),
-        dN_dphipdy=np.asarray(dN_phip),
-        pT_count=np.asarray(pT_count),
-        vn_real=np.stack([np.asarray(v) for v in vn_real]),
-        vn_imag=np.stack([np.asarray(v) for v in vn_imag]),
-        dN_taudtaudy=np.asarray(dN_tau),
-        dN_2pirdrdy=np.asarray(dN_r),
-        dN_dphisdy=np.asarray(dN_phis),
-    )
+        **{k: np.asarray(v) for k, v in h.items()})

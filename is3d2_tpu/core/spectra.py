@@ -287,8 +287,25 @@ def compute_spectra(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
     Dispatcher over df modes (EmissionFunction.cpp:1198-1226).  ``report``
     (a report.RunReport) collects the breakdown counters the reference
     prints (MomentumSpectra.cpp:1039-1040, 1674-1678).
+
+    With cfg.group_particles, species within particle_diff_tolerance in
+    mass (same sign/baryon) share ONE spectra evaluation, rescaled by
+    degeneracy (see SpeciesTable.group_species) -- the compute saving the
+    reference's grouping machinery gestures at but never implements.
     """
     cfg.validate()
+    if cfg.group_particles and len(chosen_idx) > 1:
+        rep_pos, group_of = species_table.group_species(
+            chosen_idx, cfg.particle_diff_tolerance, bool(cfg.include_baryon))
+        if len(rep_pos) < len(chosen_idx):
+            sub_cfg = dataclasses.replace(cfg, group_particles=0)
+            rep_out = compute_spectra(surf, species_table,
+                                      np.asarray(chosen_idx)[rep_pos], grids,
+                                      df_data, sub_cfg, laguerre, cell_block,
+                                      report)
+            deg = species_table.gspin[np.asarray(chosen_idx)]
+            scale = deg / deg[rep_pos][group_of]
+            return rep_out[group_of] * scale[:, None, None, None]
     block = min(cell_block or cfg.cell_block, 1 << 30)
     if cfg.df_mode == 5:
         # famod reads the shear tensor and bulk pressure unconditionally

@@ -195,6 +195,59 @@ def sharded_spectra(cells: CellArrays, coeffs: dict, species: SpeciesArrays,
     return run(cells, coeffs, species, grid)[:S0]
 
 
+def sharded_dN_dX(cells: CellArrays, aux, species: SpeciesArrays,
+                  grid: MomentumGridDevice, cfg: Config, mesh: Mesh,
+                  block: int = 512):
+    """Operation-0 spacetime distributions with cells sharded over the WHOLE
+    mesh (both axes act as cell shards: the (tau, r, phi_s) outputs are tiny,
+    so there is no species axis worth sharding).  Each device integrates and
+    scatters its cell shard locally; the three binned accumulators psum over
+    the mesh -- the reference's per-core slab + reduction
+    (SpacetimeDistribution.cpp:104-515)."""
+    from ..core.spacetime import _dN_dX_jit
+
+    kind = "feqmod" if cfg.df_mode in (3, 4) else "df12"
+    n_shards = mesh.devices.size
+
+    if kind == "df12":
+        cells, aux = pad_cells_for_mesh(cells, aux, n_shards, block)
+        aux_spec = {k: P(("cells", "species")) for k in aux}
+    else:
+        # FeqmodCellData: pad every per-cell leaf (fills as in the feqmod
+        # fast path; Ainv is (c, 3, 3) and pads with zeros on masked rows)
+        n = cells.n_padded
+        unit = n_shards * block
+        n_target = ((n + unit - 1) // unit) * unit
+        cells, _ = pad_cells_for_mesh(cells, {}, n_shards, block)
+        fills = {"T_mod": 0.15, "detA": 1.0, "detA_bulk_23": 1.0,
+                 "eta_scale": 1.0, "betaV": 1.0, "z": 1.0}
+        padded = {}
+        for f in dataclasses.fields(aux):
+            v = getattr(aux, f.name)
+            padded[f.name] = _pad_axis(v, n_target, axis=0,
+                                       fill=fills.get(f.name, 0.0))
+        aux = type(aux)(**padded)
+        aux_spec = jax.tree_util.tree_map(lambda _: P(("cells", "species")),
+                                          aux)
+
+    local_cells = cells.n_padded // n_shards
+    n_blocks = max(local_cells // min(block, local_cells), 1)
+
+    cell_spec = jax.tree_util.tree_map(lambda _: P(("cells", "species")), cells)
+    sp_spec = jax.tree_util.tree_map(lambda _: P(), species)
+    grid_spec = jax.tree_util.tree_map(lambda _: P(), grid)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(cell_spec, aux_spec, sp_spec, grid_spec),
+             out_specs=(P(), P(), P()), check_vma=False)
+    def run(cells_l, aux_l, species_l, grid_l):
+        acc = _dN_dX_jit(cells_l, aux_l, species_l, grid_l, cfg, n_blocks,
+                         kind)
+        return tuple(jax.lax.psum(a, ("cells", "species")) for a in acc)
+
+    return run(cells, aux, species, grid)
+
+
 _FEQMOD_SAFE_FILLS = {"invT": 6.5, "invTeff": 6.5, "ut": 1.0, "tau": 1.0,
                       "eta_scale": 1.0, "detA": 1.0, "a_lc": 0.5,
                       "b_lc": 0.5, "inv_betaV": 1.0}

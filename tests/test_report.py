@@ -118,3 +118,42 @@ def test_sampler_capacity_auto_retry(env):
     k2 = np.asarray(out_ref["keep"])
     n = min(k1.shape[0], k2.shape[0])
     assert int(k1.sum()) == int(k2.sum())
+
+
+def test_group_particles_dedup(env):
+    """group_particles shares one spectra evaluation per (mass, sign)
+    group; grouped output must match ungrouped within the mass-tolerance
+    error envelope (exact for truly degenerate species)."""
+    import dataclasses
+    species, grids, laguerre, tables, surf, plasma = env
+    df_data = DeltafData(tables, 1, include_baryon=False)
+    compute_particle_densities(species, df_data, laguerre, plasma)
+
+    # full smash-box HRG: plenty of mass-degenerate multiplets
+    chosen = species.chosen_indices(species.mc_id, group_by_mass=True)
+    cfg = Config(operation=1, df_mode=1, hrg_eos=3, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, cell_block=64, pT_bins=10,
+                 group_particles=0)
+    ungrouped = compute_spectra(surf, species, chosen, grids, df_data, cfg,
+                                laguerre)
+
+    rep_pos, group_of = species.group_species(chosen, 0.01, key_baryon=False)
+    assert len(rep_pos) < 0.75 * len(chosen)   # a real dedup on smash-box
+
+    cfg_g = dataclasses.replace(cfg, group_particles=1,
+                                particle_diff_tolerance=1e-6)
+    grouped_exact = compute_spectra(surf, species, chosen, grids, df_data,
+                                    cfg_g, laguerre)
+    # 1e-6 GeV tolerance: only exact multiplets merge -> equality
+    np.testing.assert_allclose(grouped_exact, ungrouped, rtol=1e-10)
+
+    cfg_g2 = dataclasses.replace(cfg, group_particles=1,
+                                 particle_diff_tolerance=0.01)
+    grouped = compute_spectra(surf, species, chosen, grids, df_data, cfg_g2,
+                              laguerre)
+    sig = ungrouped > ungrouped.max() * 1e-8
+    err = np.abs(grouped - ungrouped)[sig] / ungrouped[sig]
+    # the feq tail amplifies a dm=0.01 GeV merge by ~exp(dm p/(m T)) at
+    # pT=3; stay within the coarse physics envelope
+    assert err.max() < 0.5, err.max()
+    assert np.median(err) < 0.05

@@ -1,71 +1,198 @@
 """Batched multi-surface (event-ensemble) processing.
 
 The BASELINE stretch config runs 1000 hydro surfaces through spectra +
-sampling.  The reference can only loop whole binaries (scripts/oversample.sh);
-here surfaces are padded to a common cell count, stacked on a leading axis,
-and the spectra kernel is vmapped over it — the surface axis can then be
-sharded across devices/slices (DCN axis) with the cells axis inside each.
+sampling.  The reference can only loop whole binaries
+(scripts/oversample.sh:1-15, run_multithread_sampling_iS3D.py:18-31); here
+surfaces are padded to a common cell count, stacked on a leading axis, and
+the engines are vmapped over it.  The surface axis can additionally be
+sharded across devices (the DCN axis between slices at fleet scale,
+ICI within a slice) with the cell axis inside each shard:
+``mesh=`` runs the batch under shard_map with out-specs sharded over
+"surfaces", so each device computes only its surface shard.
+
+Covers df modes 1-4 for spectra (vmapped feqmod prep runs per surface on
+the host, stacked on device) and the full MC sampler with per-surface
+RNG streams and per-surface test histograms.
 """
 
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..config import Config
 from ..io.pdg import SpeciesTable
 from ..io.tables import GaussLaguerre, MomentumGrids
-from ..physics.deltaf import DeltafData
+from ..physics.deltaf import DeltafData, compute_particle_densities
 from .cells import CellArrays, prepare_cells
+from .feqmod import prepare_feqmod
+from .sampler import prepare_sampler, _sample_hadrons_jit
+from .sampler_hist import bin_histograms_device
 from .spectra import (MomentumGridDevice, SpeciesArrays,
                       df12_cell_coefficients, _spectra_df12_jit)
+from .spectra_feqmod import _spectra_feqmod_jit
 
 
-def stack_surfaces(surfs, cfg: Config, block: int) -> CellArrays:
-    """Pad every surface to the max padded cell count and stack on axis 0."""
+def _stack(trees):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _pad_cells_to(c: CellArrays, n_max: int) -> CellArrays:
+    pad = n_max - c.n_padded
+    if pad == 0:
+        return c
+    safe = {"T": 0.15, "P": 0.08, "E": 0.25, "tau": 1.0, "ut": 1.0}
+    fields = {}
+    for f in dataclasses.fields(c):
+        fill = safe.get(f.name, 0.0)
+        fields[f.name] = jnp.pad(getattr(c, f.name), (0, pad),
+                                 constant_values=fill)
+    return CellArrays(**fields)
+
+
+def stack_surfaces(surfs, cfg: Config, block: int):
+    """Pad every surface to the max padded cell count; returns the stacked
+    CellArrays plus the per-surface padded ones (for per-surface prep)."""
     all_cells = [prepare_cells(s, cfg, block=block) for s in surfs]
     n_max = max(c.n_padded for c in all_cells)
-
-    def pad_to(c: CellArrays) -> CellArrays:
-        pad = n_max - c.n_padded
-        if pad == 0:
-            return c
-        fields = {}
-        safe = {"T": 0.15, "P": 0.08, "E": 0.25, "tau": 1.0, "ut": 1.0}
-        for f in dataclasses.fields(c):
-            fill = safe.get(f.name, 0.0)
-            fields[f.name] = jnp.pad(getattr(c, f.name), (0, pad),
-                                     constant_values=fill)
-        return CellArrays(**fields)
-
-    padded = [pad_to(c) for c in all_cells]
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *padded)
+    padded = [_pad_cells_to(c, n_max) for c in all_cells]
+    return _stack(padded), padded
 
 
 def compute_spectra_ensemble(surfs, species_table: SpeciesTable, chosen_idx,
                              grids: MomentumGrids, df_data: DeltafData,
                              cfg: Config, laguerre: GaussLaguerre | None = None,
-                             cell_block: int | None = None) -> np.ndarray:
-    """Continuous spectra for a list of surfaces at once.
+                             cell_block: int | None = None,
+                             mesh: Mesh | None = None) -> np.ndarray:
+    """Continuous spectra for a list of surfaces at once, df modes 1-4.
 
-    Returns (n_surfaces, S, NpT, Nphi, Ny).  df modes 1/2.
+    Returns (n_surfaces, S, NpT, Nphi, Ny).  With ``mesh`` (a 1-axis
+    "surfaces" mesh), the surface axis is sharded across devices; n_surfaces
+    must be divisible by the device count.
     """
-    if cfg.df_mode not in (1, 2):
-        raise ValueError("ensemble spectra currently implement df 1/2")
+    if cfg.df_mode == 5:
+        raise ValueError("ensemble spectra implement df 1-4 (famod surfaces "
+                         "carry per-surface VAH state; run them singly)")
     block = cell_block or cfg.cell_block
-    cells = stack_surfaces(surfs, cfg, block)
+    cells, per_surf = stack_surfaces(surfs, cfg, block)
     n_padded = cells.tau.shape[1]
     n_blocks = max(n_padded // min(block, n_padded), 1)
 
     species = SpeciesArrays.from_table(species_table, chosen_idx)
     grid = MomentumGridDevice.from_grids(grids, cfg.dimension)
 
-    coeffs = jax.vmap(lambda c: df12_cell_coefficients(c, df_data, cfg))(cells)
+    if cfg.df_mode in (1, 2):
+        aux = _stack([df12_cell_coefficients(c, df_data, cfg)
+                      for c in per_surf])
+        kernel = lambda c, a: _spectra_df12_jit(c, a, species, grid, cfg,
+                                                n_blocks)
+    else:
+        # per-surface feqmod prep on the host (splines, 3x3 inverses,
+        # renormalization integrals), stacked on device
+        aux = _stack([prepare_feqmod(c, species, df_data, cfg, laguerre)
+                      for c in per_surf])
+        kernel = lambda c, a: _spectra_feqmod_jit(c, a, species, grid, cfg,
+                                                  n_blocks)
 
-    out = jax.vmap(
-        lambda c, k: _spectra_df12_jit(c, k, species, grid, cfg, n_blocks)
-    )(cells, coeffs)
-    return np.asarray(out)
+    if mesh is None:
+        out = jax.vmap(kernel)(cells, aux)
+        return np.asarray(out)
+
+    axis = mesh.axis_names[0]
+    specs = (jax.tree_util.tree_map(lambda _: P(axis), cells),
+             jax.tree_util.tree_map(lambda _: P(axis), aux))
+
+    @partial(shard_map, mesh=mesh, in_specs=specs, out_specs=P(axis),
+             check_vma=False)
+    def run(cells_l, aux_l):
+        return jax.vmap(kernel)(cells_l, aux_l)
+
+    return np.asarray(run(cells, aux))
+
+
+def prepare_sampler_ensemble(surfs, species_table: SpeciesTable, chosen_idx,
+                             df_data: DeltafData, cfg: Config,
+                             laguerre: GaussLaguerre,
+                             cell_block: int | None = None):
+    """Per-surface sampler prep (each surface gets its own thermo-averaged
+    fast-mode densities, as each reference run would), stacked on the
+    leading surface axis."""
+    block = cell_block or cfg.cell_block
+    n_max = max(prepare_cells(s, cfg, block=block).n_padded for s in surfs)
+
+    setups = []
+    species = None
+    for s in surfs:
+        if cfg.fast:
+            compute_particle_densities(species_table, df_data, laguerre,
+                                       s.thermo_averages())
+        setup, species = prepare_sampler(s, species_table, chosen_idx,
+                                         df_data, cfg, laguerre, block=n_max)
+        setups.append(setup)
+    return _stack(setups), species
+
+
+def sample_ensemble_histograms(surfs, species_table: SpeciesTable, chosen_idx,
+                               df_data: DeltafData, cfg: Config,
+                               laguerre: GaussLaguerre,
+                               events_per_surface: int, capacity: int,
+                               seed: int = 1,
+                               cell_block: int | None = None,
+                               mesh: Mesh | None = None):
+    """MC-sample every surface (independent fold_in'd RNG streams) and bin
+    per-surface test histograms -- the whole oversampling campaign of
+    scripts/oversample.sh as ONE device program.
+
+    Returns (histogram dict with leading surface axis, overflow flags).
+    With ``mesh``, the surface axis is sharded across the devices.
+    """
+    setups, species = prepare_sampler_ensemble(surfs, species_table,
+                                               chosen_idx, df_data, cfg,
+                                               laguerre, cell_block)
+    mcid = jnp.asarray(species_table.mc_id[np.asarray(chosen_idx)])
+    S = len(chosen_idx)
+    n_surf = len(surfs)
+    keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.PRNGKey(seed), i)
+                    )(jnp.arange(n_surf))
+
+    f32 = jnp.float32
+
+    def cast(tree):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(f32)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a, tree)
+
+    rates64 = setups.rates
+    setups = dataclasses.replace(cast(setups), rates=rates64)
+    species = cast(species)
+
+    def one(setup, key):
+        out = _sample_hadrons_jit(setup, species, mcid, key, cfg, capacity,
+                                  events_per_surface)
+        hists = bin_histograms_device(out, S, cfg)
+        return hists, out["overflow"]
+
+    if mesh is None:
+        hists, overflow = jax.vmap(one)(setups, keys)
+    else:
+        axis = mesh.axis_names[0]
+        specs = (jax.tree_util.tree_map(lambda _: P(axis), setups), P(axis))
+
+        @partial(shard_map, mesh=mesh, in_specs=specs,
+                 out_specs=(P(axis), P(axis)), check_vma=False)
+        def run(setups_l, keys_l):
+            return jax.vmap(one)(setups_l, keys_l)
+
+        hists, overflow = run(setups, keys)
+    return hists, np.asarray(overflow)

@@ -37,3 +37,89 @@ def test_ensemble_matches_individual(reference_dir):
     for i, s in enumerate(surfs):
         single = compute_spectra(s, species, chosen, grids, df_data, cfg)
         np.testing.assert_allclose(batch[i], single, rtol=1e-12, atol=1e-300)
+
+
+def test_ensemble_feqmod_matches_individual(reference_dir):
+    """df 3 (PTM feqmod) ensemble: vmapped kernel over stacked per-surface
+    feqmod prep matches each single-surface run."""
+    from is3d2_tpu.io.tables import GaussLaguerre
+
+    species = read_pdg(3, reference_dir / "PDG")
+    grids = MomentumGrids.from_dir(reference_dir / "tables")
+    laguerre = GaussLaguerre.from_file(
+        reference_dir / "tables/gauss/gla_roots_weights.txt")
+    tables = DeltafTables.load(3, include_baryon=False,
+                               base_dir=reference_dir / "deltaf_coefficients/vh")
+    cfg = Config(df_mode=3, hrg_eos=3, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, cell_block=32)
+    df_data = DeltafData(tables, 3, include_baryon=False)
+    chosen = species.chosen_indices(PIKP)
+
+    surfs = [make_surface(24 + 8 * i, seed=200 + i, bulk_scale=0.02)
+             for i in range(3)]
+    batch = compute_spectra_ensemble(surfs, species, chosen, grids, df_data,
+                                     cfg, laguerre)
+    for i, s in enumerate(surfs):
+        single = compute_spectra(s, species, chosen, grids, df_data, cfg,
+                                 laguerre)
+        np.testing.assert_allclose(batch[i], single, rtol=1e-12, atol=1e-300)
+
+
+def test_ensemble_sharded_over_surfaces(reference_dir):
+    """Stretch config 5: the surface axis sharded over the 8-device mesh."""
+    import jax
+    from jax.sharding import Mesh
+
+    species = read_pdg(3, reference_dir / "PDG")
+    grids = MomentumGrids.from_dir(reference_dir / "tables")
+    tables = DeltafTables.load(3, include_baryon=False,
+                               base_dir=reference_dir / "deltaf_coefficients/vh")
+    cfg = Config(df_mode=1, hrg_eos=3, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, cell_block=16)
+    df_data = DeltafData(tables, 1, include_baryon=False)
+    chosen = species.chosen_indices(PIKP)
+
+    surfs = [make_surface(16, seed=300 + i) for i in range(8)]
+    mesh = Mesh(np.array(jax.devices()), axis_names=("surfaces",))
+    sharded = compute_spectra_ensemble(surfs, species, chosen, grids, df_data,
+                                       cfg, mesh=mesh)
+    plain = compute_spectra_ensemble(surfs, species, chosen, grids, df_data,
+                                     cfg)
+    np.testing.assert_allclose(sharded, plain, rtol=1e-12, atol=1e-300)
+
+
+def test_ensemble_sampler_histograms(reference_dir):
+    """The whole oversampling campaign as one program: per-surface RNG
+    streams, per-surface histograms, surface axis optionally sharded."""
+    import jax
+    from jax.sharding import Mesh
+    from is3d2_tpu.io.tables import GaussLaguerre
+    from is3d2_tpu.core.ensemble import sample_ensemble_histograms
+
+    species = read_pdg(3, reference_dir / "PDG")
+    laguerre = GaussLaguerre.from_file(
+        reference_dir / "tables/gauss/gla_roots_weights.txt")
+    tables = DeltafTables.load(3, include_baryon=False,
+                               base_dir=reference_dir / "deltaf_coefficients/vh")
+    cfg = Config(operation=2, df_mode=1, hrg_eos=3, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, fast=1, y_cut=5.0, cell_block=16)
+    df_data = DeltafData(tables, 1, include_baryon=False)
+    chosen = species.chosen_indices(PIKP)
+
+    surfs = [make_surface(16, seed=400 + i, shear_scale=0.02) for i in range(8)]
+    hists, overflow = sample_ensemble_histograms(
+        surfs, species, chosen, df_data, cfg, laguerre,
+        events_per_surface=50, capacity=16384, seed=9)
+    assert not overflow.any()
+    assert hists["dN_dy"].shape[0] == 8
+    totals = np.asarray(hists["dN_dy"]).sum(axis=(1, 2))
+    assert (totals > 0).all()
+
+    mesh = Mesh(np.array(jax.devices()), axis_names=("surfaces",))
+    hists_s, overflow_s = sample_ensemble_histograms(
+        surfs, species, chosen, df_data, cfg, laguerre,
+        events_per_surface=50, capacity=16384, seed=9, mesh=mesh)
+    assert not overflow_s.any()
+    # same per-surface streams -> identical histograms sharded or not
+    np.testing.assert_allclose(np.asarray(hists_s["dN_dy"]),
+                               np.asarray(hists["dN_dy"]), rtol=1e-12)

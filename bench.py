@@ -69,6 +69,60 @@ def measure_oracle_evals_per_sec(tmp: Path) -> float:
         return 1.9e7  # fastest single-thread g++ -O2 mode observed on this host
 
 
+def measure_sampler(surf, species_t, chosen, df_data, cfg, ref):
+    """Steady-state MC-sampler throughput (kept and drawn hadrons/s) on the
+    spectra benchmark surface: full-HRG Grad-14, fast-mode rates, one
+    ~8e6-envelope-hadron chunk, momentum rejection + viscous/flux keep +
+    lab boost (the operation-2 device pipeline minus host prep)."""
+    import dataclasses as _dc
+    import jax
+    import jax.numpy as jnp
+    from is3d2_tpu.io.tables import GaussLaguerre
+    from is3d2_tpu.core import sampler as S
+
+    cfg2 = _dc.replace(cfg, operation=2, fast=1, compute_dtype="f32")
+    laguerre = GaussLaguerre.from_file(
+        os.path.join(ref, "tables/gauss/gla_roots_weights.txt"))
+    setup, species = S.prepare_sampler(surf, species_t, chosen, df_data,
+                                       cfg2, laguerre)
+    mcid = jnp.asarray(species_t.mc_id[chosen])
+
+    f32 = jnp.float32
+    rates64 = setup.rates
+    cast = lambda tree: jax.tree_util.tree_map(
+        lambda a: a.astype(f32)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a, tree)
+    setup = _dc.replace(cast(setup), rates=rates64)
+    species = cast(species)
+
+    y_max = cfg2.y_cut
+    mean_1ev = float(jnp.sum(setup.rates * (2.0 * y_max * setup.ds_max)[:, None]))
+    n_events = max(1, int(8.0e6 / mean_1ev))
+    cap = int(mean_1ev * n_events * 1.2
+              + 6.0 * np.sqrt(mean_1ev * n_events) + 1024)
+    key = jax.random.PRNGKey(3)
+
+    def run_once():
+        out = S._sample_hadrons_jit(setup, species, mcid, key, cfg2, cap,
+                                    n_events)
+        return int(out["kept"]), int(out["drawn"])
+
+    t0 = time.time()
+    kept, drawn = run_once()
+    log(f"sampler compile+first: {time.time() - t0:.1f}s "
+        f"({drawn} drawn, {kept} kept, {n_events} events)")
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        kept, drawn = run_once()
+        times.append(time.time() - t0)
+    best = min(times)
+    log(f"sampler steady state: {best:.3f}s -> {kept/best:.3e} kept/s, "
+        f"{drawn/best:.3e} drawn/s")
+    return kept / best, drawn / best
+
+
 def main():
     import jax
     jax.config.update("jax_enable_x64", True)
@@ -135,6 +189,9 @@ def main():
     rate = evals / best
     log(f"steady state: {best:.3f}s for {evals:.3e} evals -> {rate:.3e} evals/s")
 
+    sampler_kept_per_s, sampler_drawn_per_s = measure_sampler(
+        surf, species_t, chosen, df_data, cfg, ref)
+
     baseline = measure_oracle_evals_per_sec(Path("/tmp/is3d2_bench"))
 
     # normalize against an IDEAL 48-thread scaling of the measured
@@ -149,6 +206,8 @@ def main():
         "value": rate,
         "unit": "evals/s",
         "vs_baseline": rate / (48.0 * baseline),
+        "sampler_kept_hadrons_per_s": sampler_kept_per_s,
+        "sampler_drawn_hadrons_per_s": sampler_drawn_per_s,
     }))
 
 

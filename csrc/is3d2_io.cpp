@@ -142,4 +142,90 @@ long long i3d_parse(const char *path, double *out, long long capacity) {
   return total;
 }
 
+// ----------------------------------------------------------------------
+// Threaded per-event particle-list writer (the reverse hot path: a
+// production oversampling run exports ~1e7 hadrons across up to 1e3 event
+// files; Python-side row formatting is ~100x slower).
+//
+//   path_pattern     printf pattern with one %lld for the 1-based event id
+//   header           first line of every file (newline appended)
+//   sep              column separator (' ' or ',')
+//   precision        digits for %.Ne formatting
+//   include_counter  1 -> per-file row counter as the first column (OSCAR)
+//   offsets          (n_events+1) row offsets; event e owns [off[e], off[e+1])
+//   mcid             per-row particle id column
+//   cols/n_cols      column-major double arrays, all of length offsets[n_events]
+//
+// Rows must be pre-sorted by event (Python does one argsort).  Returns the
+// number of rows written, or -1 on I/O failure.
+long long i3d_write_events(const char *path_pattern, const char *header,
+                           char sep, int precision, int include_counter,
+                           long long n_events, const long long *offsets,
+                           const long long *mcid,
+                           const double *const *cols, int n_cols) {
+  unsigned n_threads = std::thread::hardware_concurrency();
+  if (n_threads == 0) n_threads = 1;
+  if (n_threads > 16) n_threads = 16;
+  if ((unsigned long long)n_events < n_threads) n_threads = (unsigned)n_events;
+  if (n_threads == 0) n_threads = 1;
+
+  std::vector<long long> written(n_threads, 0);
+  std::vector<int> failed(n_threads, 0);
+
+  auto work = [&](unsigned t) {
+    std::vector<char> buf;
+    buf.reserve(1 << 20);
+    char tmp[64];
+    char path[4096];
+    for (long long e = t; e < n_events; e += n_threads) {
+      snprintf(path, sizeof path, path_pattern, e + 1);
+      FILE *f = fopen(path, "wb");
+      if (!f) { failed[t] = 1; return; }
+      buf.clear();
+      buf.insert(buf.end(), header, header + strlen(header));
+      buf.push_back('\n');
+      long long row_in_file = 0;
+      for (long long r = offsets[e]; r < offsets[e + 1]; r++) {
+        if (include_counter) {
+          int k = snprintf(tmp, sizeof tmp, "%lld", row_in_file);
+          buf.insert(buf.end(), tmp, tmp + k);
+          buf.push_back(sep);
+        }
+        int k = snprintf(tmp, sizeof tmp, "%lld", mcid[r]);
+        buf.insert(buf.end(), tmp, tmp + k);
+        for (int c = 0; c < n_cols; c++) {
+          buf.push_back(sep);
+          k = snprintf(tmp, sizeof tmp, "%.*e", precision, cols[c][r]);
+          buf.insert(buf.end(), tmp, tmp + k);
+        }
+        buf.push_back('\n');
+        row_in_file++;
+        if (buf.size() > (1u << 20)) {
+          if (fwrite(buf.data(), 1, buf.size(), f) != buf.size()) {
+            failed[t] = 1; fclose(f); return;
+          }
+          buf.clear();
+        }
+      }
+      if (!buf.empty() &&
+          fwrite(buf.data(), 1, buf.size(), f) != buf.size()) {
+        failed[t] = 1; fclose(f); return;
+      }
+      fclose(f);
+      written[t] += offsets[e + 1] - offsets[e];
+    }
+  };
+
+  std::vector<std::thread> threads;
+  for (unsigned t = 0; t < n_threads; t++) threads.emplace_back(work, t);
+  for (auto &th : threads) th.join();
+
+  long long total = 0;
+  for (unsigned t = 0; t < n_threads; t++) {
+    if (failed[t]) return -1;
+    total += written[t];
+  }
+  return total;
+}
+
 }  // extern "C"

@@ -90,6 +90,13 @@ class Config:
     use_pallas: bool = False
     # number of freezeout cells per device block in the CF reduction
     cell_block: int = 4096
+    # max envelope hadrons per sampler chunk: an oversampling campaign is
+    # split into event chunks so per-hadron device buffers stay bounded
+    # (~30 live f32 arrays of this length) regardless of min_num_hadrons
+    sampler_chunk_hadrons: float = 8.0e6
+    # also write the plain-CSV particle lists (the reference's main path
+    # writes only OSCAR, EmissionFunction.cpp:1290; CSV doubles export time)
+    write_csv: int = 0
 
     # ------------------------------------------------------------------
     _INT_FIELDS = {
@@ -100,6 +107,7 @@ class Config:
         "sampler_seed", "test_sampler", "pT_bins", "y_bins", "phip_bins",
         "eta_bins", "tau_bins", "r_bins", "group_particles",
         "do_resonance_decays", "lightest_particle", "cell_block",
+        "write_csv",
     }
 
     @classmethod

@@ -517,11 +517,14 @@ def _gather(a, idx):
     return jnp.take(a, idx, axis=0)
 
 
-@partial(jax.jit, static_argnames=("cfg", "capacity", "n_events"))
+@partial(jax.jit, static_argnames=("cfg", "capacity"))
 def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
                         mcid: jnp.ndarray, key, cfg: Config,
-                        capacity: int, n_events: int):
-    """The full flat-hadron pipeline; returns raw per-hadron arrays."""
+                        capacity: int, n_events):
+    """The full flat-hadron pipeline; returns raw per-hadron arrays.
+
+    ``n_events`` is traced (NOT static) so an event-chunked campaign with a
+    short remainder chunk reuses one compiled program."""
     c = setup.cells
     y_max = cfg.y_cut if cfg.dimension == 2 else 0.5
     volume = 2.0 * y_max * setup.ds_max
@@ -546,16 +549,20 @@ def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
     cell_idx = bucket // S_count
     sp_idx = bucket % S_count
 
-    # per-hadron species properties: ONE packed row gather (a separate take
-    # per field costs ~60x: the index resolution dominates, not the bytes)
+    # per-hadron species properties: ONE packed gather, FIELD-MAJOR.  The
+    # field axis must be the major (sublane) axis: a (hadrons, 3) gather
+    # output is tiled (8, 128) on TPU, padding the minor dim 3 -> 128 lanes
+    # (42x HBM blowup, OOM at production capacity); (3, hadrons) tiles
+    # losslessly.  A separate take per field costs ~36x (measured): the
+    # index resolution dominates, not the bytes.
     sp_packed = jnp.stack([species.mass, species.sign, species.baryon],
-                          axis=1)
-    sp_rows = _gather(sp_packed, sp_idx)
-    mass, sign, baryon = sp_rows[:, 0], sp_rows[:, 1], sp_rows[:, 2]
+                          axis=0)
+    sp_rows = jnp.take(sp_packed, sp_idx, axis=1)
+    mass, sign, baryon = sp_rows[0], sp_rows[1], sp_rows[2]
     mcid_h = _gather(mcid, sp_idx)
     mass2 = mass * mass
 
-    # per-hadron cell properties: one packed row gather over all fields
+    # per-hadron cell properties: one packed field-major gather (see above)
     fields = {
         "T": c.T, "alphaB": c.alphaB, "ratio": c.baryon_enthalpy_ratio,
         "breaks": setup.breaks_down.astype(c.T.dtype),
@@ -576,9 +583,9 @@ def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
     for _n, _a in setup.df_cols.items():
         fields["df:" + _n] = _a
     _names = sorted(fields)
-    _packed = jnp.stack([fields[k] for k in _names], axis=1)
-    _rows = _gather(_packed, cell_idx)
-    _col = {k: _rows[:, i] for i, k in enumerate(_names)}
+    _packed = jnp.stack([fields[k] for k in _names], axis=0)
+    _rows = jnp.take(_packed, cell_idx, axis=1)
+    _col = {k: _rows[i] for i, k in enumerate(_names)}
 
     def gf(name):
         return _col[name]
@@ -742,6 +749,45 @@ def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
     }
 
 
+_SUM_KEYS = ("total", "mom_proposals", "mom_acceptances", "drawn", "kept",
+             "dropped")
+
+
+@partial(jax.jit, static_argnames=("pad",))
+def _gather_kept_jit(out: dict, pad: int):
+    idx = jnp.nonzero(out["keep"], size=pad, fill_value=0)[0]
+    res = {k: (v if not (hasattr(v, "ndim") and v.ndim == 1)
+               else jnp.take(v, idx, axis=0))
+           for k, v in out.items()}
+    res["keep"] = jnp.arange(pad) < out["kept"]
+    return res
+
+
+def _compact_kept(out: dict) -> dict:
+    """Drop rejected lanes before anything leaves the device: the flat
+    hadron axis is the *envelope* (~2-4x the kept yield with the factor-2
+    fast-mode rates), so binning/transferring it wholesale wastes HBM->host
+    bandwidth.  Keeps the dict contract (``keep`` mask + padded axis)."""
+    kept = int(out["kept"])
+    pad = max(1024, -(-kept // 8192) * 8192)
+    if pad >= out["keep"].shape[0]:
+        return out
+    return _gather_kept_jit(out, pad)
+
+
+def _concat_chunks(chunks: list[dict]) -> dict:
+    """Merge per-chunk sampler outputs into one flat-hadron dict."""
+    out = {}
+    for k in chunks[0]:
+        if k in _SUM_KEYS:
+            out[k] = sum(ch[k] for ch in chunks)
+        elif k == "overflow":
+            out[k] = False
+        else:
+            out[k] = jnp.concatenate([ch[k] for ch in chunks])
+    return out
+
+
 def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
                      df_data: DeltafData, cfg: Config, laguerre: GaussLaguerre,
                      n_events: int, seed: int | None = None,
@@ -766,10 +812,27 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
     mcid = jnp.asarray(species_table.mc_id[chosen_idx])
 
     y_max = cfg.y_cut if cfg.dimension == 2 else 0.5
-    mean_total = float(jnp.sum(setup.rates * (2.0 * y_max * setup.ds_max)[:, None])) \
-        * n_events
+    mean_1ev = float(jnp.sum(setup.rates * (2.0 * y_max * setup.ds_max)[:, None]))
+    mean_total = mean_1ev * n_events
+
+    # event chunking: per-hadron device buffers scale with the flat-hadron
+    # capacity, so a 1e7-hadron campaign is run as chunks of
+    # <= sampler_chunk_hadrons envelope hadrons (one compiled program reused;
+    # chunk Poisson draws on independent fold_in streams sum to the same
+    # campaign statistics).  A caller-forced capacity keeps one chunk.
+    events_per_chunk = n_events
+    if capacity is None and mean_total > cfg.sampler_chunk_hadrons \
+            and n_events > 1:
+        events_per_chunk = max(1, int(cfg.sampler_chunk_hadrons
+                                      / max(mean_1ev, 1.0)))
+    n_chunks = -(-n_events // events_per_chunk)
+
+    def chunk_capacity(n_ev):
+        m = mean_1ev * n_ev
+        return int(m * 1.2 + 6.0 * np.sqrt(max(m, 1.0)) + 1024)
+
     if capacity is None:
-        capacity = int(mean_total * 1.2 + 6.0 * np.sqrt(max(mean_total, 1.0)) + 1024)
+        capacity = chunk_capacity(events_per_chunk)
 
     if seed is None:
         seed = cfg.sampler_seed if cfg.sampler_seed >= 0 else np.random.SeedSequence().entropy
@@ -792,21 +855,32 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
     species = cast(species)
 
     retries = 0
-    while True:
-        out = _sample_hadrons_jit(setup, species, mcid, key, cfg, capacity,
-                                  n_events)
-        if not bool(out["overflow"]):
-            break
-        # grow to the actual Poisson total (known exactly from the failed
-        # attempt: the counts depend only on the key and rates) + margin
-        total = int(out["total"])
-        capacity = total + max(total // 64, 1024)
-        retries += 1
-        print(f"sampler capacity overflow (total {total}); retrying with "
-              f"capacity {capacity}", flush=True)
-        if retries > 4:
-            raise RuntimeError("sampler capacity overflow persists after "
-                               f"{retries} retries (total {total})")
+    chunks = []
+    for c in range(n_chunks):
+        ev0 = c * events_per_chunk
+        n_ev = min(events_per_chunk, n_events - ev0)
+        # single-chunk campaigns keep the undivided key (bit-identical to the
+        # pre-chunking sampler); chunked ones get independent streams
+        k = key if n_chunks == 1 else jax.random.fold_in(key, c)
+        cap = capacity
+        while True:
+            out = _sample_hadrons_jit(setup, species, mcid, k, cfg, cap, n_ev)
+            if not bool(out["overflow"]):
+                break
+            # grow to the actual Poisson total (known exactly from the failed
+            # attempt: the counts depend only on the key and rates) + margin
+            total = int(out["total"])
+            cap = total + max(total // 64, 1024)
+            retries += 1
+            print(f"sampler capacity overflow (total {total}); retrying with "
+                  f"capacity {cap}", flush=True)
+            if retries > 4 * n_chunks:
+                raise RuntimeError("sampler capacity overflow persists after "
+                                   f"{retries} retries (total {total})")
+        if n_chunks > 1:
+            out["event"] = out["event"] + ev0
+        chunks.append(_compact_kept(out))
+    out = chunks[0] if n_chunks == 1 else _concat_chunks(chunks)
 
     if report is not None:
         report.n_cells = surf.n_cells

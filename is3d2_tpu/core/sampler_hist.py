@@ -8,7 +8,9 @@ hadron axis.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -97,9 +99,18 @@ def bin_histograms_device(out: dict, S: int, cfg: Config) -> dict:
     }
 
 
+@partial(jax.jit, static_argnames=("S", "cfg"))
+def _bin_histograms_jit(out: dict, S: int, cfg: Config) -> dict:
+    return bin_histograms_device(out, S, cfg)
+
+
 def bin_sampled_particles(out: dict, S: int, cfg: Config,
                           n_events: int) -> SampledHistograms:
-    h = bin_histograms_device(out, S, cfg)
+    # one compiled program: eager dispatch of the ~21 scatter-adds costs a
+    # device round-trip each on the remote-TPU tunnel
+    needed = ("keep", "sp_idx", "px", "py", "x", "y",
+              "rapidity", "eta", "tau")
+    h = _bin_histograms_jit({k: out[k] for k in needed}, S, cfg)
     return SampledHistograms(
         n_events=n_events,
         **{k: np.asarray(v) for k, v in h.items()})

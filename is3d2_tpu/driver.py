@@ -100,14 +100,19 @@ class IS3D:
         print(f"is3d2_tpu particlization: operation={cfg.operation} "
               f"df_mode={cfg.df_mode} hrg_eos={cfg.hrg_eos} "
               f"dimension={cfg.dimension}", flush=True)
+        t_read = time.time()
         if fo_from_file or self.surface is None:
             self.load_surface_from_file()
-        print(f"surface: {self.surface.n_cells} cells", flush=True)
+        t_read = time.time() - t_read
+        print(f"surface: {self.surface.n_cells} cells ({t_read:.1f}s)",
+              flush=True)
         t0 = time.time()
         self._setup()
-        print(f"setup done ({time.time() - t0:.1f}s): "
+        t_setup = time.time() - t0
+        print(f"setup done ({t_setup:.1f}s): "
               f"{len(self.species)} species, {len(self.chosen_idx)} chosen, "
               f"T_avg = {self.plasma.temperature:.4f} GeV", flush=True)
+        self.stage_seconds = {"read": t_read, "setup": t_setup}
 
         results = self.workdir / "results"
         mcids = [int(self.species.mc_id[i]) for i in self.chosen_idx]
@@ -120,12 +125,14 @@ class IS3D:
             self.surface, include_baryondiff=bool(cfg.include_baryon
                                                   and cfg.include_baryondiff_deltaf))
 
+        t_compute = time.time()
         if cfg.operation == 0:
             print("computing spacetime distributions dN/dX ...", flush=True)
             dX = compute_dN_dX(self.surface, self.species, self.chosen_idx,
                                self.grids, self.df_data, cfg, self.laguerre,
                                report=report)
             self.dN_dX = dX
+            self._mark_compute(t_compute, "dN/dX")
             if write:
                 output.write_dN_dX(results, mcids, dX, cfg)
 
@@ -136,7 +143,9 @@ class IS3D:
                                       self.df_data, cfg, self.laguerre,
                                       report=report)
             self.spectra = spectra
+            self._mark_compute(t_compute, "spectra")
             if write:
+                tw = time.time()
                 output.write_spectra(results, mcids, spectra, self.grids,
                                      cfg.dimension)
                 output.write_vn(results, mcids, spectra, self.grids, cfg.dimension)
@@ -146,6 +155,7 @@ class IS3D:
                                        cfg.dimension)
                 output.write_dN_dy(results, mcids, spectra, self.grids,
                                    cfg.dimension)
+                self.stage_seconds["write"] = time.time() - tw
 
         elif cfg.operation == 2:
             Ntot = compute_total_yield(self.surface, self.species,
@@ -154,11 +164,13 @@ class IS3D:
             n_events = number_of_events(Ntot, cfg)
             self.n_events = n_events
             print(f"Estimated total particle yield = {int(Ntot)} particles; "
-                  f"sampling {n_events} events")
+                  f"sampling {n_events} events", flush=True)
 
             out = sample_particles(self.surface, self.species, self.chosen_idx,
                                    self.df_data, cfg, self.laguerre, n_events,
                                    report=report)
+            self._mark_compute(t_compute, "sampling")
+            tw = time.time()
             if cfg.test_sampler:
                 self.histograms = bin_sampled_particles(out, len(mcids), cfg,
                                                         n_events)
@@ -171,9 +183,13 @@ class IS3D:
                     output.write_particle_list_oscar(results,
                                                      self.final_particles,
                                                      n_events)
-                    output.write_particle_list_csv(results,
-                                                   self.final_particles,
-                                                   n_events)
+                    if cfg.write_csv:
+                        output.write_particle_list_csv(results,
+                                                       self.final_particles,
+                                                       n_events)
+            self.stage_seconds["write"] = time.time() - tw
+            print(f"histogram/output stage took "
+                  f"{self.stage_seconds['write']:.3f} seconds", flush=True)
 
         if cfg.mode == 5:
             St, Sx, Sy, Sn, Snorm = compute_polarization(
@@ -186,3 +202,10 @@ class IS3D:
 
         report.print()
         print(f"Particlization took {time.time() - t0:.3f} seconds")
+
+    def _mark_compute(self, t_start: float, what: str) -> None:
+        dt = time.time() - t_start
+        self.stage_seconds["compute"] = dt
+        # the reference prints "Spectra calculation took X seconds"
+        # (EmissionFunction.cpp:1375-1385); keep the same shape
+        print(f"{what} calculation took {dt:.3f} seconds", flush=True)

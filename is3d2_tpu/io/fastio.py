@@ -50,10 +50,45 @@ def _get_lib():
         lib.i3d_parse.argtypes = [ctypes.c_char_p,
                                   ctypes.POINTER(ctypes.c_double),
                                   ctypes.c_longlong]
+        lib.i3d_write_events.restype = ctypes.c_longlong
+        lib.i3d_write_events.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char,
+            ctypes.c_int, ctypes.c_int, ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_double)), ctypes.c_int]
         _lib = lib
     except OSError:
         _build_failed = True
     return _lib
+
+
+def write_events_fast(path_pattern: str, header: str, sep: str,
+                      precision: int, include_counter: bool,
+                      offsets: np.ndarray, mcid: np.ndarray,
+                      cols: list[np.ndarray]) -> bool:
+    """Write per-event particle-list text files with the threaded native
+    writer.  Rows must be pre-sorted by event; ``offsets`` has n_events+1
+    entries.  Returns False (caller falls back to the Python writer) when
+    the native library is unavailable."""
+    lib = _get_lib()
+    if lib is None:
+        return False
+    n_events = len(offsets) - 1
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    mcid = np.ascontiguousarray(mcid, dtype=np.int64)
+    cols = [np.ascontiguousarray(c, dtype=np.float64) for c in cols]
+    col_ptrs = (ctypes.POINTER(ctypes.c_double) * len(cols))(
+        *[c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)) for c in cols])
+    n = lib.i3d_write_events(
+        path_pattern.encode(), header.encode(), sep.encode(),
+        precision, int(include_counter), n_events,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        mcid.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        col_ptrs, len(cols))
+    if n < 0:
+        raise OSError(f"native particle-list write failed for {path_pattern}")
+    return True
 
 
 def load_table_fast(path: str | Path) -> np.ndarray:

@@ -85,6 +85,29 @@ def make_eos_consistent(s: SurfaceData, species_table, laguerre) -> SurfaceData:
     return s
 
 
+def write_mode6(s: SurfaceData, path: str | Path,
+                include_baryon: bool = False) -> None:
+    """Write in mode-6 public-MUSIC format (the production surface format:
+    dsigma/tau columns, tau-scaled u^eta/pi^{x eta}/pi^{y eta}, E/T/muB in
+    fm^-4/fm^-1; see io/surface.py:_read_music and readindata.cpp:372-567)."""
+    n = s.tau.shape[0]
+    tau = s.tau
+    z = np.zeros(n)
+    ut = np.sqrt(1.0 + s.ux**2 + s.uy**2 + (tau * s.un) ** 2)
+    cols = [tau, s.x, s.y, s.eta,
+            s.dat / tau, s.dax / tau, s.day / tau, s.dan / tau,
+            ut, s.ux, s.uy, s.un * tau,
+            s.E / hbarC, s.T / hbarC, s.muB / hbarC, z, z,
+            (s.E + s.P) / np.where(s.T != 0, s.T, 1.0),
+            z, z, z, z,                      # pi^{tt,tx,ty,tn}: recomputed
+            s.pixx / hbarC, s.pixy / hbarC, s.pixn * tau / hbarC,
+            s.piyy / hbarC, s.piyn * tau / hbarC, z,
+            s.bulkPi / hbarC]
+    if include_baryon:
+        cols += [s.nB, z, s.Vx, s.Vy, s.Vn * tau]
+    np.savetxt(path, np.column_stack(cols), fmt="%.10e")
+
+
 def write_mode1(s: SurfaceData, path: str | Path, include_baryon: bool = False,
                 vorticity: bool = False) -> None:
     """Write in mode-1/5 CPU-VH format (raw hbar=1 units, one row per cell)."""

@@ -61,7 +61,8 @@ def test_event_histograms_and_observables(reference_dir, tmp_path):
     wd = _workdir(tmp_path, {"operation": 2, "df_mode": 1, "hrg_eos": 3},
                   reference_dir)
     cfg = Config(operation=2, df_mode=1, hrg_eos=3, test_sampler=0,
-                 min_num_hadrons=300, max_num_samples=20, cell_block=64)
+                 min_num_hadrons=300, max_num_samples=20, cell_block=64,
+                 write_csv=1)
     IS3D(wd, cfg=cfg).run_particlization()
 
     lists = sorted((wd / "results").glob("particle_list_[0-9]*.dat"))

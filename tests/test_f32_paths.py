@@ -52,3 +52,38 @@ def test_f32_matches_f64(reference_dir, df_mode):
     # f32 compute: exp amplifies rounding of u.p/T (~30 * eps_f32);
     # feqmod/famod accumulate fully in f32
     assert err < 3e-4, f"df{df_mode}: f32 vs f64 max rel err {err:.2e}"
+
+
+@pytest.mark.parametrize("df_mode", [1, 3, 5])
+def test_f32_matches_f64_3d(reference_dir, df_mode):
+    """3+1d light-cone fast path: f32 vs f64 on per-species significant bins.
+
+    Measured: df 1-4 <= ~7e-6 (the light-cone basis keeps pt/tau*pn sums of
+    positives, so the only amplification is exp rounding of u.p/T); famod
+    <= ~2e-4 (its VAH (lambda, aT, aL) Newton reconstruction also runs in
+    f32, and exp(-E/lambda) amplifies lambda's rounding)."""
+    species = read_pdg(3, reference_dir / "PDG")
+    grids = MomentumGrids.from_dir(reference_dir / "tables")
+    laguerre = GaussLaguerre.from_file(reference_dir / "tables/gauss/gla_roots_weights.txt")
+    tables = DeltafTables.load(3, include_baryon=False,
+                               base_dir=reference_dir / "deltaf_coefficients/vh")
+    surf = make_surface(48, seed=77, dimension=3, shear_scale=0.03,
+                        bulk_scale=0.01)
+    if df_mode == 5:
+        surf = make_eos_consistent(surf, species, laguerre)
+
+    cfg64 = Config(operation=1, df_mode=df_mode, hrg_eos=3, dimension=3,
+                   include_shear_deltaf=1, include_bulk_deltaf=1,
+                   cell_block=16, compute_dtype="f64")
+    cfg32 = dataclasses.replace(cfg64, compute_dtype="f32")
+    df_data = DeltafData(tables, df_mode, include_baryon=False)
+    chosen = species.chosen_indices(PIKP)
+
+    a = compute_spectra(surf, species, chosen, grids, df_data, cfg64, laguerre)
+    b = compute_spectra(surf, species, chosen, grids, df_data, cfg32, laguerre)
+
+    scale_s = np.abs(a).max(axis=(1, 2, 3), keepdims=True)
+    sig = np.abs(a) > 1e-6 * scale_s
+    err = (np.abs(b - a) / np.maximum(np.abs(a), 1e-300))[sig].max()
+    bound = 2e-5 if df_mode != 5 else 3e-4
+    assert err < bound, f"3+1d df{df_mode}: f32 vs f64 max rel err {err:.2e}"

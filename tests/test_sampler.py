@@ -6,6 +6,7 @@ and |df| <= 1 regulation via w_visc, so the matching smooth calculation uses
 outflow = 1 and regulate_deltaf = 1.
 """
 
+import dataclasses
 import sys
 from pathlib import Path
 
@@ -124,6 +125,42 @@ def test_sampler_deterministic(env):
                           n_events=100, seed=12)
     assert to_particle_list(o3).n_valid != p1.n_valid or \
         not np.array_equal(to_particle_list(o3).px, p1.px)
+
+
+def test_sampler_event_chunking(env):
+    """A chunked campaign (sampler_chunk_hadrons small) covers every event,
+    keeps per-chunk buffers bounded, and matches the unchunked yield
+    statistically."""
+    species, grids, laguerre, tables, surf, plasma = env
+    df_data = DeltafData(tables, 1, include_baryon=False)
+    compute_particle_densities(species, df_data, laguerre, plasma)
+    chosen = species.chosen_indices(PIKP)
+    n_events = 400
+
+    base = Config(operation=2, df_mode=1, hrg_eos=3, include_shear_deltaf=1,
+                  include_bulk_deltaf=1, fast=1, cell_block=64)
+    big = sample_particles(surf, species, chosen, df_data, base, laguerre,
+                           n_events=n_events, seed=5)
+
+    # force ~8 chunks
+    mean_1ev = float(big["drawn"]) / n_events
+    cfg = dataclasses.replace(base,
+                              sampler_chunk_hadrons=mean_1ev * n_events / 8)
+    out = sample_particles(surf, species, chosen, df_data, cfg, laguerre,
+                           n_events=n_events, seed=5)
+    # outputs are compacted to the kept rows (padded to 8192) per chunk
+    assert out["keep"].shape[0] <= 8 * 8192 + int(out["kept"])
+    assert int(out["keep"].sum()) == int(out["kept"])
+
+    ev = np.asarray(out["event"])[np.asarray(out["keep"])]
+    assert ev.min() >= 0 and ev.max() == n_events - 1
+    # every chunk contributed (events are uniform within each chunk)
+    assert len(np.unique(ev)) > 0.9 * n_events
+
+    kept_a, kept_b = int(big["kept"]), int(out["kept"])
+    sigma = np.sqrt(kept_a + kept_b)
+    assert abs(kept_a - kept_b) < 6.0 * sigma
+    assert int(out["drawn"]) == int(out["total"])
 
 
 def test_total_yield_matches_sampled(env):

@@ -79,10 +79,13 @@ def measure_sampler(surf, species_t, chosen, df_data, cfg, ref):
     import jax.numpy as jnp
     from is3d2_tpu.io.tables import GaussLaguerre
     from is3d2_tpu.core import sampler as S
+    from is3d2_tpu.physics.deltaf import compute_particle_densities
 
     cfg2 = _dc.replace(cfg, operation=2, fast=1, compute_dtype="f32")
     laguerre = GaussLaguerre.from_file(
         os.path.join(ref, "tables/gauss/gla_roots_weights.txt"))
+    compute_particle_densities(species_t, df_data, laguerre,
+                               surf.thermo_averages())
     setup, species = S.prepare_sampler(surf, species_t, chosen, df_data,
                                        cfg2, laguerre)
     mcid = jnp.asarray(species_t.mc_id[chosen])

@@ -353,15 +353,18 @@ class ParticleList:
 
 
 def _rejection_loop(key, mbar, mbar2, sign, chem, light, weq_max,
-                    max_rounds: int, count_mask=None):
-    """All-lanes rejection rounds until every lane accepted (or max_rounds).
-    Proposal math runs in f32 (the draws feed f32-exact comparisons; accepted
-    kinematics are upcast by the caller); returns dimensionless
-    (accepted, pbar, Ebar, phi2pi, costh, feq, n_prop, n_acc).
+                    max_rounds: int, stop_count: int = 0):
+    """All-lanes rejection rounds until every lane accepted (or max_rounds,
+    or fewer than ``stop_count`` lanes remain — the caller's straggler
+    buffer size).  Proposal math runs in f32 (the draws feed f32-exact
+    comparisons; accepted kinematics are upcast by the caller); returns
+    dimensionless (accepted, pbar, Ebar, phi2pi, costh, feq, prop_count).
 
-    n_prop / n_acc count proposals and acceptances on ``count_mask`` lanes
-    (the reference's samples / acceptances counters,
-    ParticleSampler.cpp:676-677, 1133)."""
+    ``prop_count`` is the PER-LANE int32 proposal count (the reference's
+    samples counter, ParticleSampler.cpp:676-677, 1133): a per-round
+    elementwise increment reduced once by the caller.  Accumulating scalar
+    f64 counters inside the loop instead costs ~2.3x the whole phase (two
+    emulated-f64 full-lane reductions per round, measured on v5e)."""
     f32 = jnp.float32
     mbar = mbar.astype(f32)
     mbar2 = mbar2.astype(f32)
@@ -369,11 +372,9 @@ def _rejection_loop(key, mbar, mbar2, sign, chem, light, weq_max,
     chem = chem.astype(f32)
     weq_max = weq_max.astype(f32)
     n = mbar.shape[0]
-    if count_mask is None:
-        count_mask = jnp.ones(n, dtype=bool)
 
     def body(state):
-        rnd, key, accepted, pbar, Ebar, phi2pi, costh, feq, n_prop, n_acc = state
+        rnd, key, accepted, pbar, Ebar, phi2pi, costh, feq, prop_count = state
         key, k1 = jax.random.split(key)
         u = jax.random.uniform(k1, (9, n), dtype=f32)
         r1, r2, r3 = 1.0 - u[0], 1.0 - u[1], 1.0 - u[2]
@@ -425,42 +426,46 @@ def _rejection_loop(key, mbar, mbar2, sign, chem, light, weq_max,
         feq_new = jnp.where(light, feq_l, feq_h)
 
         acc_now = (u[6] < w) & ~accepted
-        n_prop = n_prop + jnp.sum((~accepted & count_mask).astype(jnp.float64))
-        n_acc = n_acc + jnp.sum((acc_now & count_mask).astype(jnp.float64))
+        prop_count = prop_count + (~accepted).astype(jnp.int32)
         pbar = jnp.where(acc_now, pbar_new, pbar)
         Ebar = jnp.where(acc_now, Ebar_new, Ebar)
         phi2pi = jnp.where(acc_now, phi_new, phi2pi)
         costh = jnp.where(acc_now, cos_new, costh)
         feq = jnp.where(acc_now, feq_new, feq)
         return (rnd + 1, key, accepted | acc_now, pbar, Ebar, phi2pi, costh,
-                feq, n_prop, n_acc)
+                feq, prop_count)
 
     def cond(state):
         rnd = state[0]
         accepted = state[2]
-        return (rnd < max_rounds) & ~jnp.all(accepted)
+        # int32 bool-count: cheap; the f64 version is emulated on v5e
+        remaining = jnp.sum((~accepted).astype(jnp.int32))
+        return (rnd < max_rounds) & (remaining > stop_count)
 
     zeros = jnp.zeros(n, f32)
-    zero_ct = jnp.zeros((), jnp.float64)
     state = (jnp.asarray(0), key, jnp.zeros(n, dtype=bool),
-             zeros, jnp.ones(n, f32), zeros, zeros, zeros, zero_ct, zero_ct)
-    _, _, accepted, pbar, Ebar, phi2pi, costh, feq, n_prop, n_acc = \
+             zeros, jnp.ones(n, f32), zeros, zeros, zeros,
+             jnp.zeros(n, jnp.int32))
+    _, _, accepted, pbar, Ebar, phi2pi, costh, feq, prop_count = \
         jax.lax.while_loop(cond, body, state)
-    return accepted, pbar, Ebar, phi2pi, costh, feq, n_prop, n_acc
+    return accepted, pbar, Ebar, phi2pi, costh, feq, prop_count
 
 
 def _sample_momentum(key, mass, sign, T, chem, count_mask=None,
-                     rounds_phase1: int = 10,
-                     rounds_phase2: int = 200, straggler_frac: int = 4):
+                     max_rounds: int = 200):
     """Vectorized rejection sampling of the LRF momentum
     (sample_momentum, ParticleSampler.cpp:243-405).
 
-    An all-lanes while_loop is tail-dominated: the last few low-acceptance
-    lanes force ~1/w_min * ln(n) full-width rounds.  Two phases instead:
-    a few full-width rounds accept the bulk, then the stragglers are
-    compacted into an n/straggler_frac buffer that iterates to completion.
-    Statistically identical (each lane still draws independent proposals
-    until its own first acceptance).  Returns
+    ONE all-lanes while_loop to completion.  A round over already-accepted
+    lanes is pure wasted VPU work, but a cheap round costs ~10 ms at 1e7
+    lanes and the tail needs only ~ln(n)/w_min ~ 20 extra rounds past the
+    bulk -- while every compaction scheme tried (two-phase with
+    jnp.nonzero + scatter- or gather-merge of the stragglers) costs >1.3 s
+    at this width because TPU compaction is itself a full-width scatter.
+    Lane count per round is the adaptive part: the loop exits as soon as
+    every lane has accepted (typically ~30 rounds; worst-case bound
+    max_rounds, unaccepted leftovers are counted by the caller's
+    ``dropped`` diagnostic).  Returns
     (E, px, py, pz, feq, accepted, n_prop, n_acc) in GeV; n_prop/n_acc are
     the acceptance-efficiency counters over ``count_mask`` lanes.
     """
@@ -474,34 +479,14 @@ def _sample_momentum(key, mass, sign, T, chem, count_mask=None,
     use_pion_rescale = (mbar < 0.8554) & (sign == -1.0)
     weq_max = jnp.where(use_pion_rescale, pion_thermal_weight_max(mbar), 1.0)
 
-    key1, key2 = jax.random.split(key)
-    accepted, pbar, Ebar, phi2pi, costh, feq, n_prop, n_acc = _rejection_loop(
-        key1, mbar, mbar2, sign, chem, light, weq_max, rounds_phase1,
-        count_mask)
+    accepted, pbar, Ebar, phi2pi, costh, feq, prop = _rejection_loop(
+        key, mbar, mbar2, sign, chem, light, weq_max, max_rounds)
 
-    # compact stragglers (fixed-size; overflow lanes simply stay unaccepted
-    # and are dropped by the keep mask -- probability ~ (1-w)^phase1 > 1/frac;
-    # the dropped-lane count is reported by the caller)
-    m = n // straggler_frac
-    idx = jnp.nonzero(~accepted, size=m, fill_value=0)[0]
-    was_straggler = ~accepted[idx]
-
-    acc2, pbar2, Ebar2, phi2, cos2, feq2, n_prop2, n_acc2 = _rejection_loop(
-        key2, mbar[idx], mbar2[idx], sign[idx], chem[idx], light[idx],
-        weq_max[idx], rounds_phase2, count_mask[idx] & was_straggler)
-    n_prop = n_prop + n_prop2
-    n_acc = n_acc + n_acc2
-
-    def put(base, new):
-        return base.at[idx].set(jnp.where(was_straggler, new.astype(base.dtype),
-                                          base[idx]))
-
-    pbar = put(pbar, pbar2)
-    Ebar = put(Ebar, Ebar2)
-    phi2pi = put(phi2pi, phi2)
-    costh = put(costh, cos2)
-    feq = put(feq, feq2)
-    accepted = accepted.at[idx].set(jnp.where(was_straggler, acc2, accepted[idx]))
+    # efficiency counters: ONE masked reduction (per-lane int32 counts; see
+    # _rejection_loop)
+    n_prop = jnp.sum(jnp.where(count_mask, prop, 0)).astype(jnp.float64)
+    n_acc = jnp.sum((accepted & count_mask).astype(jnp.int32)
+                    ).astype(jnp.float64)
 
     p = pbar * T
     phi = phi2pi * two_pi
@@ -532,7 +517,9 @@ def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
     key, k_poisson, k_event, k_mom, k_keep, k_rap = jax.random.split(key, 6)
 
     rates = setup.rates * volume[:, None] * n_events      # (cfill, S)
-    counts = jax.random.poisson(k_poisson, rates)
+    # f32 lambdas: the f64 Poisson sampler is emulated on TPU; a 1e-7
+    # relative rounding of the mean is far below sampling noise
+    counts = jax.random.poisson(k_poisson, rates.astype(jnp.float32))
     flat_counts = counts.reshape(-1)
     cum = jnp.cumsum(flat_counts)
     total = cum[-1]
@@ -559,7 +546,6 @@ def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
                           axis=0)
     sp_rows = jnp.take(sp_packed, sp_idx, axis=1)
     mass, sign, baryon = sp_rows[0], sp_rows[1], sp_rows[2]
-    mcid_h = _gather(mcid, sp_idx)
     mass2 = mass * mass
 
     # per-hadron cell properties: one packed field-major gather (see above)
@@ -690,8 +676,9 @@ def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
     ds_max = gf("ds_max")
     w_flux = jnp.maximum(0.0, E * dst - px * dsx - py * dsy - pz * dsz) / (E * ds_max)
 
-    u_keep = jax.random.uniform(k_keep, (capacity,))
-    keep = valid & mom_ok & (u_keep < w_flux * w_visc)
+    # explicit f32 draw: the default dtype is f64 under x64, emulated on TPU
+    u_keep = jax.random.uniform(k_keep, (capacity,), dtype=jnp.float32)
+    keep = valid & mom_ok & (u_keep < (w_flux * w_visc).astype(jnp.float32))
 
     # boost LRF -> lab Milne (Momentum.cpp:14-31)
     tau_h, ux_h, uy_h, un_h = gf("tau"), gf("ux"), gf("uy"), gf("un")
@@ -701,7 +688,8 @@ def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
 
     eta_cell = gf("eta")
     if cfg.dimension == 2:
-        rap = y_max * (2.0 * jax.random.uniform(k_rap, (capacity,)) - 1.0)
+        rap = y_max * (2.0 * jax.random.uniform(k_rap, (capacity,),
+                                                dtype=jnp.float32) - 1.0)
         sinhy = jnp.sinh(rap)
         coshy = jnp.sqrt(1.0 + sinhy * sinhy)
         tau_pn = tau_h * pn
@@ -723,7 +711,10 @@ def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
     return {
         "keep": keep,
         "event": event,
-        "mcid": mcid_h,
+        # the (S,) mcid TABLE, not per-hadron: a full-width int gather costs
+        # ~80 ms/chunk and the per-hadron ids are only needed for the kept
+        # rows (to_particle_list maps sp_idx -> mcid on host)
+        "mcid": mcid,
         "sp_idx": sp_idx,
         "mass": mass,
         "tau": tau_h,
@@ -743,22 +734,46 @@ def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
         # are straggler-buffer overflow, see _sample_momentum)
         "mom_proposals": n_prop,
         "mom_acceptances": n_acc,
-        "drawn": jnp.sum(valid.astype(jnp.int64)),
-        "kept": jnp.sum(keep.astype(jnp.int64)),
-        "dropped": jnp.sum((valid & ~mom_ok).astype(jnp.int64)),
+        # int32 reductions upcast after: int64 reductions are emulated on TPU
+        "drawn": jnp.sum(valid.astype(jnp.int32)).astype(jnp.int64),
+        "kept": jnp.sum(keep.astype(jnp.int32)).astype(jnp.int64),
+        "dropped": jnp.sum((valid & ~mom_ok).astype(jnp.int32)
+                           ).astype(jnp.int64),
     }
 
 
 _SUM_KEYS = ("total", "mom_proposals", "mom_acceptances", "drawn", "kept",
              "dropped")
+# per-hadron output columns (everything else in the dict is a scalar
+# diagnostic or the (S,) mcid table)
+_HADRON_INT_KEYS = ("event", "sp_idx")
+_HADRON_FLOAT_KEYS = ("mass", "tau", "x", "y", "eta", "t", "z",
+                      "E", "px", "py", "pz", "rapidity")
 
 
 @partial(jax.jit, static_argnames=("pad",))
 def _gather_kept_jit(out: dict, pad: int):
-    idx = jnp.nonzero(out["keep"], size=pad, fill_value=0)[0]
-    res = {k: (v if not (hasattr(v, "ndim") and v.ndim == 1)
-               else jnp.take(v, idx, axis=0))
-           for k, v in out.items()}
+    keep = out["keep"]
+    n = keep.shape[0]
+    # compaction index via ONE int32 scatter (cumsum positions).  The
+    # obvious jnp.nonzero(size=pad) lowers to a far costlier program
+    # (measured 890 ms vs 72 ms at 1e7 lanes on v5e); the scatter keeps the
+    # kept lane ids in ascending order by construction.
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    tgt = jnp.where(keep, pos, pad)
+    idx = jnp.zeros(pad, jnp.int32).at[tgt].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    res = dict(out)
+    # packed field-major takes: 14 separate takes cost ~1.1 s at this width
+    # (index resolution per take dominates), one (F, n) take ~0.1 s
+    fpack = jnp.take(jnp.stack([out[k] for k in _HADRON_FLOAT_KEYS]),
+                     idx, axis=1)
+    for i, k in enumerate(_HADRON_FLOAT_KEYS):
+        res[k] = fpack[i]
+    ipack = jnp.take(jnp.stack([out[k].astype(jnp.int32)
+                                for k in _HADRON_INT_KEYS]), idx, axis=1)
+    for i, k in enumerate(_HADRON_INT_KEYS):
+        res[k] = ipack[i]
     res["keep"] = jnp.arange(pad) < out["kept"]
     return res
 
@@ -783,6 +798,8 @@ def _concat_chunks(chunks: list[dict]) -> dict:
             out[k] = sum(ch[k] for ch in chunks)
         elif k == "overflow":
             out[k] = False
+        elif k == "mcid":  # the (S,) table, identical across chunks
+            out[k] = chunks[0][k]
         else:
             out[k] = jnp.concatenate([ch[k] for ch in chunks])
     return out
@@ -898,10 +915,12 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
 
 def to_particle_list(out) -> ParticleList:
     keep = np.asarray(out["keep"])
+    # out["mcid"] is the (S,) species table; resolve per-hadron ids on host
+    mcid = np.asarray(out["mcid"])[np.asarray(out["sp_idx"])]
     return ParticleList(
         valid=keep,
         event=np.asarray(out["event"]),
-        mcid=np.asarray(out["mcid"]),
+        mcid=mcid,
         tau=np.asarray(out["tau"]),
         x=np.asarray(out["x"]),
         y=np.asarray(out["y"]),

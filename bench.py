@@ -109,6 +109,10 @@ def measure_sampler(surf, species_t, chosen, df_data, cfg, ref):
     def run_once():
         out = S._sample_hadrons_jit(setup, species, mcid, key, cfg2, cap,
                                     n_events)
+        out = S._finalize_chunk(out, setup, cfg2)
+        # force the finalized columns (the kept-count transfer above only
+        # fences the core pipeline)
+        float(out["E"].sum())
         return int(out["kept"]), int(out["drawn"])
 
     t0 = time.time()

@@ -36,7 +36,8 @@ from ..io.tables import GaussLaguerre, MomentumGrids
 from ..physics.deltaf import DeltafData, compute_particle_densities
 from .cells import CellArrays, prepare_cells
 from .feqmod import prepare_feqmod
-from .sampler import prepare_sampler, _sample_hadrons_jit
+from .sampler import (prepare_sampler, _finalize_device,
+                      _sample_hadrons_jit)
 from .sampler_hist import bin_histograms_device
 from .spectra import (MomentumGridDevice, SpeciesArrays,
                       df12_cell_coefficients, _spectra_df12_jit)
@@ -180,6 +181,7 @@ def sample_ensemble_histograms(surfs, species_table: SpeciesTable, chosen_idx,
     def one(setup, key):
         out = _sample_hadrons_jit(setup, species, mcid, key, cfg, capacity,
                                   events_per_surface)
+        out = _finalize_device(out, setup, cfg)
         hists = bin_histograms_device(out, S, cfg)
         return hists, out["overflow"]
 

@@ -451,25 +451,42 @@ def _rejection_loop(key, mbar, mbar2, sign, chem, light, weq_max,
     return accepted, pbar, Ebar, phi2pi, costh, feq, prop_count
 
 
+def _compaction_index(mask, size: int):
+    """Indices of the True lanes of ``mask`` in ascending order, padded with
+    0 (duplicates of lane 0) -- jnp.nonzero(size=...) semantics, built with
+    ONE int32 scatter.  The nonzero lowering costs ~12x at 1e7 lanes on v5e
+    (890 ms vs 72 ms): it is also scatter-based but materializes argwhere
+    intermediates.  True lanes beyond ``size`` are simply not represented."""
+    n = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    tgt = jnp.where(mask, pos, size)
+    idx = jnp.zeros(size, jnp.int32).at[tgt].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    return idx, pos
+
+
 def _sample_momentum(key, mass, sign, T, chem, count_mask=None,
-                     max_rounds: int = 200):
+                     rounds_phase1: int = 30, rounds_phase2: int = 200,
+                     straggler_frac: int = 16):
     """Vectorized rejection sampling of the LRF momentum
     (sample_momentum, ParticleSampler.cpp:243-405).
 
-    ONE all-lanes while_loop to completion.  A round over already-accepted
-    lanes is pure wasted VPU work, but a cheap round costs ~10 ms at 1e7
-    lanes and the tail needs only ~ln(n)/w_min ~ 20 extra rounds past the
-    bulk -- while every compaction scheme tried (two-phase with
-    jnp.nonzero + scatter- or gather-merge of the stragglers) costs >1.3 s
-    at this width because TPU compaction is itself a full-width scatter.
-    Lane count per round is the adaptive part: the loop exits as soon as
-    every lane has accepted (typically ~30 rounds; worst-case bound
-    max_rounds, unaccepted leftovers are counted by the caller's
-    ``dropped`` diagnostic).  Returns
+    An all-lanes while_loop is tail-dominated: the last few low-acceptance
+    lanes force ~ln(n)/w_min extra full-width rounds past the bulk.  Two
+    phases: full-width rounds run only until the unaccepted lanes fit the
+    n/straggler_frac buffer (adaptive stop_count exit, typically 3-4
+    rounds), then the stragglers are scatter-compacted into that buffer
+    (packed single-take inputs) and iterate to completion; results merge
+    back by gather (cumsum position), never scatter.  Statistically
+    identical to per-lane independent proposals until first acceptance.
+    Overflowing the buffer requires acceptance < ~9% sustained for
+    rounds_phase1 full-width rounds; overflow lanes stay unaccepted and are
+    counted by the caller's ``dropped`` diagnostic.  Returns
     (E, px, py, pz, feq, accepted, n_prop, n_acc) in GeV; n_prop/n_acc are
     the acceptance-efficiency counters over ``count_mask`` lanes.
     """
-    mbar = mass / T
+    f32 = jnp.float32
+    mbar = (mass / T).astype(f32)
     mbar2 = mbar * mbar
     n = mass.shape[0]
     if count_mask is None:
@@ -477,10 +494,41 @@ def _sample_momentum(key, mass, sign, T, chem, count_mask=None,
 
     light = mbar < 1.008
     use_pion_rescale = (mbar < 0.8554) & (sign == -1.0)
-    weq_max = jnp.where(use_pion_rescale, pion_thermal_weight_max(mbar), 1.0)
+    weq_max = jnp.where(use_pion_rescale, pion_thermal_weight_max(mbar),
+                        1.0).astype(f32)
 
+    m = max(1024, n // straggler_frac)
+    key1, key2 = jax.random.split(key)
     accepted, pbar, Ebar, phi2pi, costh, feq, prop = _rejection_loop(
-        key, mbar, mbar2, sign, chem, light, weq_max, max_rounds)
+        key1, mbar, mbar2, sign, chem, light, weq_max, rounds_phase1,
+        stop_count=m if m < n else 0)
+
+    if m < n:
+        idx, pos = _compaction_index(~accepted, m)
+        # packed compacted inputs: one small take
+        sub = jnp.take(jnp.stack([mbar, mbar2, sign.astype(f32),
+                                  chem.astype(f32), weq_max,
+                                  light.astype(f32),
+                                  (~accepted).astype(f32)]), idx, axis=1)
+        acc2, pbar2, Ebar2, phi2, cos2, feq2, prop2 = _rejection_loop(
+            key2, sub[0], sub[1], sub[2], sub[3], sub[5] > 0.5, sub[4],
+            rounds_phase2)
+        was_straggler = sub[6] > 0.5  # filler lanes are lane-0 copies
+
+        # gather-merge: straggler lane i sits at slot pos[i] of the buffer
+        in_buf = ~accepted & (pos < m)
+        posc = jnp.clip(pos, 0, m - 1)
+        back = jnp.take(jnp.stack([pbar2, Ebar2, phi2, cos2, feq2,
+                                   (acc2 & was_straggler).astype(f32),
+                                   jnp.where(was_straggler, prop2, 0
+                                             ).astype(f32)]), posc, axis=1)
+        pbar = jnp.where(in_buf, back[0], pbar)
+        Ebar = jnp.where(in_buf, back[1], Ebar)
+        phi2pi = jnp.where(in_buf, back[2], phi2pi)
+        costh = jnp.where(in_buf, back[3], costh)
+        feq = jnp.where(in_buf, back[4], feq)
+        accepted = accepted | (in_buf & (back[5] > 0.5))
+        prop = prop + jnp.where(in_buf, back[6], 0.0).astype(jnp.int32)
 
     # efficiency counters: ONE masked reduction (per-lane int32 counts; see
     # _rejection_loop)
@@ -558,8 +606,9 @@ def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
         "Vx": setup.Vx, "Vy": setup.Vy, "Vz": setup.Vz,
         "dst": setup.dst, "dsx": setup.dsx, "dsy": setup.dsy,
         "dsz": setup.dsz, "ds_max": setup.ds_max,
-        "tau": c.tau, "ux": c.ux, "uy": c.uy, "un": c.un,
-        "eta": c.eta, "x": c.x, "ypos": c.y_pos,
+        # cell position/flow columns are NOT gathered here: the lab-frame
+        # reconstruction runs after kept-row compaction (_finalize_device),
+        # at ~30% of the envelope width
     }
     if cfg.df_mode in (3, 4):
         fields["shear_mod"] = setup.shear_mod
@@ -680,34 +729,11 @@ def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
     u_keep = jax.random.uniform(k_keep, (capacity,), dtype=jnp.float32)
     keep = valid & mom_ok & (u_keep < (w_flux * w_visc).astype(jnp.float32))
 
-    # boost LRF -> lab Milne (Momentum.cpp:14-31)
-    tau_h, ux_h, uy_h, un_h = gf("tau"), gf("ux"), gf("uy"), gf("un")
-    basis_h = lrf.milne_basis(tau_h, ux_h, uy_h, un_h)
-    ptau, plab_x, plab_y, pn = lrf.boost_momentum_to_lab(
-        basis_h, tau_h, ux_h, uy_h, un_h, E, px, py, pz)
-
-    eta_cell = gf("eta")
-    if cfg.dimension == 2:
-        rap = y_max * (2.0 * jax.random.uniform(k_rap, (capacity,),
-                                                dtype=jnp.float32) - 1.0)
-        sinhy = jnp.sinh(rap)
-        coshy = jnp.sqrt(1.0 + sinhy * sinhy)
-        tau_pn = tau_h * pn
-        mT = jnp.sqrt(jnp.maximum(ptau * ptau - tau_pn * tau_pn, 1e-300))
-        sinheta = (ptau * sinhy - tau_pn * coshy) / mT
-        eta_p = jnp.arcsinh(sinheta)
-        pz_lab = mT * sinhy
-        E_lab = mT * coshy
-    else:
-        sinheta = jnp.sinh(eta_cell)
-        cosheta = jnp.sqrt(1.0 + sinheta * sinheta)
-        pz_lab = tau_h * pn * cosheta + ptau * sinheta
-        E_lab = jnp.sqrt(mass2 + plab_x**2 + plab_y**2 + pz_lab**2)
-        rap = 0.5 * jnp.log((E_lab + pz_lab) / (E_lab - pz_lab))
-        eta_p = eta_cell
-
     event = jax.random.randint(k_event, (capacity,), 0, n_events)
 
+    # cell-frame (LRF-boosted-to-Milne happens in _finalize_device, after
+    # kept-row compaction: the boost + rapidity reconstruction only matter
+    # for the ~30% of lanes that survive the flux/viscous keep)
     return {
         "keep": keep,
         "event": event,
@@ -716,18 +742,13 @@ def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
         # rows (to_particle_list maps sp_idx -> mcid on host)
         "mcid": mcid,
         "sp_idx": sp_idx,
+        "cell_idx": cell_idx,
         "mass": mass,
-        "tau": tau_h,
-        "x": gf("x"),
-        "y": gf("ypos"),
-        "eta": eta_p,
-        "t": tau_h * jnp.cosh(eta_p),
-        "z": tau_h * jnp.sinh(eta_p),
-        "E": E_lab,
-        "px": plab_x,
-        "py": plab_y,
-        "pz": pz_lab,
-        "rapidity": rap,
+        "E": E,
+        "px": px,
+        "py": py,
+        "pz": pz,
+        "_k_rap": k_rap,
         "total": total,
         "overflow": total > capacity,
         # diagnostics (ParticleSampler.cpp:1133 efficiency; dropped lanes
@@ -744,50 +765,97 @@ def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
 
 _SUM_KEYS = ("total", "mom_proposals", "mom_acceptances", "drawn", "kept",
              "dropped")
-# per-hadron output columns (everything else in the dict is a scalar
-# diagnostic or the (S,) mcid table)
-_HADRON_INT_KEYS = ("event", "sp_idx")
-_HADRON_FLOAT_KEYS = ("mass", "tau", "x", "y", "eta", "t", "z",
-                      "E", "px", "py", "pz", "rapidity")
 
 
-@partial(jax.jit, static_argnames=("pad",))
-def _gather_kept_jit(out: dict, pad: int):
-    keep = out["keep"]
+def _finalize_device(out: dict, setup: SamplerSetup, cfg: Config,
+                     pad: int | None = None) -> dict:
+    """Compact to the kept rows (optional) and reconstruct the lab-frame
+    Milne kinematics.  Runs AFTER the keep decision so the boost, rapidity
+    draw and (t, z) transcendentals cost only the kept width (~30% of the
+    envelope); compaction also shrinks the device->host transfer.  Traceable
+    (used inside shard_map); `_finalize_jit` is the jitted entry.
+
+    With ``pad`` (static), the kept rows are gathered into a pad-length
+    buffer via a scatter-built compaction index: jnp.nonzero(size=pad)
+    lowers ~12x slower (890 ms vs 72 ms at 1e7 lanes on v5e), and packed
+    field-major takes replace per-field takes (1.1 s -> ~0.1 s)."""
+    c = setup.cells
+    k_rap = out["_k_rap"]
+    if pad is None:
+        keep = out["keep"]
+        event, sp_idx, cell_idx = out["event"], out["sp_idx"], out["cell_idx"]
+        mass = out["mass"]
+        E, px, py, pz = out["E"], out["px"], out["py"], out["pz"]
+    else:
+        idx, _ = _compaction_index(out["keep"], pad)
+        keep = jnp.arange(pad) < out["kept"]
+        fpack = jnp.take(jnp.stack([out["mass"], out["E"], out["px"],
+                                    out["py"], out["pz"]]), idx, axis=1)
+        mass, E, px, py, pz = (fpack[i] for i in range(5))
+        ipack = jnp.take(jnp.stack([out["event"].astype(jnp.int32),
+                                    out["sp_idx"].astype(jnp.int32),
+                                    out["cell_idx"].astype(jnp.int32)]),
+                         idx, axis=1)
+        event, sp_idx, cell_idx = (ipack[i] for i in range(3))
+
     n = keep.shape[0]
-    # compaction index via ONE int32 scatter (cumsum positions).  The
-    # obvious jnp.nonzero(size=pad) lowers to a far costlier program
-    # (measured 890 ms vs 72 ms at 1e7 lanes on v5e); the scatter keeps the
-    # kept lane ids in ascending order by construction.
-    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    tgt = jnp.where(keep, pos, pad)
-    idx = jnp.zeros(pad, jnp.int32).at[tgt].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop")
-    res = dict(out)
-    # packed field-major takes: 14 separate takes cost ~1.1 s at this width
-    # (index resolution per take dominates), one (F, n) take ~0.1 s
-    fpack = jnp.take(jnp.stack([out[k] for k in _HADRON_FLOAT_KEYS]),
-                     idx, axis=1)
-    for i, k in enumerate(_HADRON_FLOAT_KEYS):
-        res[k] = fpack[i]
-    ipack = jnp.take(jnp.stack([out[k].astype(jnp.int32)
-                                for k in _HADRON_INT_KEYS]), idx, axis=1)
-    for i, k in enumerate(_HADRON_INT_KEYS):
-        res[k] = ipack[i]
-    res["keep"] = jnp.arange(pad) < out["kept"]
+    # cell position/flow at kept width: one packed field-major take
+    cpack = jnp.take(jnp.stack([c.tau, c.ux, c.uy, c.un, c.eta, c.x,
+                                c.y_pos]), cell_idx, axis=1)
+    tau_h, ux_h, uy_h, un_h, eta_cell, x_h, y_h = (cpack[i] for i in range(7))
+
+    # boost LRF -> lab Milne (Momentum.cpp:14-31)
+    basis_h = lrf.milne_basis(tau_h, ux_h, uy_h, un_h)
+    ptau, plab_x, plab_y, pn = lrf.boost_momentum_to_lab(
+        basis_h, tau_h, ux_h, uy_h, un_h, E, px, py, pz)
+
+    if cfg.dimension == 2:
+        y_max = cfg.y_cut
+        rap = y_max * (2.0 * jax.random.uniform(k_rap, (n,),
+                                                dtype=jnp.float32) - 1.0)
+        rap = rap.astype(ptau.dtype)
+        sinhy = jnp.sinh(rap)
+        coshy = jnp.sqrt(1.0 + sinhy * sinhy)
+        tau_pn = tau_h * pn
+        mT = jnp.sqrt(jnp.maximum(ptau * ptau - tau_pn * tau_pn, 1e-300))
+        sinheta = (ptau * sinhy - tau_pn * coshy) / mT
+        eta_p = jnp.arcsinh(sinheta)
+        pz_lab = mT * sinhy
+        E_lab = mT * coshy
+    else:
+        sinheta = jnp.sinh(eta_cell)
+        cosheta = jnp.sqrt(1.0 + sinheta * sinheta)
+        pz_lab = tau_h * pn * cosheta + ptau * sinheta
+        E_lab = jnp.sqrt(mass * mass + plab_x**2 + plab_y**2 + pz_lab**2)
+        rap = 0.5 * jnp.log((E_lab + pz_lab) / (E_lab - pz_lab))
+        eta_p = eta_cell
+
+    res = {k: v for k, v in out.items()
+           if k in _SUM_KEYS or k in ("overflow", "mcid")}
+    res.update(
+        keep=keep, event=event, sp_idx=sp_idx, mass=mass,
+        tau=tau_h, x=x_h, y=y_h, eta=eta_p,
+        t=tau_h * jnp.cosh(eta_p), z=tau_h * jnp.sinh(eta_p),
+        E=E_lab, px=plab_x, py=plab_y, pz=pz_lab, rapidity=rap)
     return res
 
 
-def _compact_kept(out: dict) -> dict:
-    """Drop rejected lanes before anything leaves the device: the flat
-    hadron axis is the *envelope* (~2-4x the kept yield with the factor-2
-    fast-mode rates), so binning/transferring it wholesale wastes HBM->host
-    bandwidth.  Keeps the dict contract (``keep`` mask + padded axis)."""
+_finalize_jit = jax.jit(_finalize_device, static_argnames=("cfg", "pad"))
+
+
+def _finalize_chunk(out: dict, setup: SamplerSetup, cfg: Config) -> dict:
+    """Host-side dispatcher: pick the compaction pad and finalize.
+
+    ``pad`` is a STATIC shape, so it is bucketed (8192 small / 1<<20 at
+    production scale) to reuse one compiled program across chunks whose
+    kept counts differ only statistically."""
     kept = int(out["kept"])
-    pad = max(1024, -(-kept // 8192) * 8192)
-    if pad >= out["keep"].shape[0]:
-        return out
-    return _gather_kept_jit(out, pad)
+    cap = out["keep"].shape[0]
+    bucket = 8192 if cap < (4 << 20) else (1 << 20)
+    pad = max(bucket, -(-kept // bucket) * bucket)
+    if pad >= cap:
+        return _finalize_jit(out, setup, cfg, None)
+    return _finalize_jit(out, setup, cfg, pad)
 
 
 def _concat_chunks(chunks: list[dict]) -> dict:
@@ -814,8 +882,10 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
     If the Poisson total overflows the flat-hadron capacity (a >6-sigma
     fluctuation, or a caller-forced small capacity), the run is retried with
     the capacity grown to the drawn total -- the RNG key is unchanged, so
-    the Poisson counts (and thus the physics) are identical to a
-    right-sized first attempt.  ``report`` (report.RunReport) collects the
+    the Poisson counts are identical to a right-sized first attempt (the
+    per-hadron rejection draws are counter-indexed over the resized lane
+    axis, so the sampled kinematics are statistically -- not bitwise --
+    equivalent).  ``report`` (report.RunReport) collects the
     sampling-efficiency counters the reference prints
     (ParticleSampler.cpp:1133).
     """
@@ -896,7 +966,7 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
                                    f"{retries} retries (total {total})")
         if n_chunks > 1:
             out["event"] = out["event"] + ev0
-        chunks.append(_compact_kept(out))
+        chunks.append(_finalize_chunk(out, setup, cfg))
     out = chunks[0] if n_chunks == 1 else _concat_chunks(chunks)
 
     if report is not None:

@@ -20,7 +20,8 @@ except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
 from ..config import Config
-from ..core.sampler import SamplerSetup, _sample_hadrons_jit
+from ..core.sampler import (SamplerSetup, _finalize_device,
+                            _sample_hadrons_jit)
 from ..core.sampler_hist import bin_histograms_device
 from ..core.spectra import SpeciesArrays
 
@@ -46,6 +47,7 @@ def sharded_sampler_counts(setup: SamplerSetup, species: SpeciesArrays,
         k = jax.random.fold_in(key_l, dev_id[0])
         out = _sample_hadrons_jit(setup_l, species_l, mcid_l, k, cfg,
                                   capacity_per_device, events_per_device)
+        out = _finalize_device(out, setup_l, cfg)
         keep = out["keep"]
         sp = out["sp_idx"]
         counts = jnp.zeros(S).at[sp].add(jnp.where(keep, 1.0, 0.0))
@@ -80,6 +82,7 @@ def sharded_sampler_histograms(setup: SamplerSetup, species: SpeciesArrays,
         k = jax.random.fold_in(key_l, dev_id[0])
         out = _sample_hadrons_jit(setup_l, species_l, mcid_l, k, cfg,
                                   capacity_per_device, events_per_device)
+        out = _finalize_device(out, setup_l, cfg)
         hists = bin_histograms_device(out, S, cfg)
         return jax.tree_util.tree_map(
             lambda h: jax.lax.psum(h, "events"), hists)

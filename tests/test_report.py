@@ -113,11 +113,15 @@ def test_sampler_capacity_auto_retry(env):
     assert rep.sampler_capacity_retries >= 1
     out_ref = sample_particles(surf, species, chosen, df_data, cfg, laguerre,
                                n_events=100, seed=5)
+    # the Poisson counts depend only on (key, rates), NOT on the capacity,
+    # so the drawn total after the retry is exactly the right-sized run's
     assert int(out_small["total"]) == int(out_ref["total"])
-    k1 = np.asarray(out_small["keep"])
-    k2 = np.asarray(out_ref["keep"])
-    n = min(k1.shape[0], k2.shape[0])
-    assert int(k1.sum()) == int(k2.sum())
+    assert int(out_small["drawn"]) == int(out_ref["drawn"])
+    # per-hadron rejection draws DO depend on the buffer shape (threefry is
+    # counter-based over the flat lane axis), so kept agrees statistically
+    k1, k2 = int(out_small["kept"]), int(out_ref["kept"])
+    assert abs(k1 - k2) < 6.0 * np.sqrt(max(k1, k2))
+    assert np.asarray(out_small["keep"]).sum() == k1
 
 
 def test_group_particles_dedup(env):

@@ -10,6 +10,7 @@
 //                                       the first row)
 //   i3d_parse(path, out, capacity)   -> n_values parsed into out (row-major)
 
+#include <cmath>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -156,6 +157,78 @@ long long i3d_parse(const char *path, double *out, long long capacity) {
 //   mcid             per-row particle id column
 //   cols/n_cols      column-major double arrays, all of length offsets[n_events]
 //
+// Fast "%.*e" for precision <= 17: scale into [1, 10) with a long-double
+// power-of-ten table (64-bit mantissa keeps the digit string correctly
+// rounded except for rare 1-in-last-digit ties), then emit digits with
+// integer ops.  snprintf's %.16e costs ~4 us/number on this host (glibc
+// takes the general multiprecision path); this runs ~25x faster and is the
+// difference between a 45 s and a ~5 s 1e7-row OSCAR export on the 1-core
+// production host.  Non-finite values fall back to snprintf.
+static long double POW10L[700];  // 10^(i-323), covers subnormals' 10^324 scale
+static bool pow10l_init_done = false;
+static void pow10l_init() {
+  for (int i = 0; i < 700; i++) POW10L[i] = powl(10.0L, (long double)(i - 323));
+  pow10l_init_done = true;
+}
+static const char DIGIT2[201] =
+    "00010203040506070809101112131415161718192021222324"
+    "25262728293031323334353637383940414243444546474849"
+    "50515253545556575859606162636465666768697071727374"
+    "75767778798081828384858687888990919293949596979899";
+
+static inline int format_e(char *out, double x, int precision) {
+  if (!(x == x) || x - x != 0.0 || precision > 17)  // nan, +-inf, odd prec
+    return snprintf(out, 64, "%.*e", precision, x);
+  char *p = out;
+  if (std::signbit(x)) { *p++ = '-'; x = -x; }
+  int e10 = 0;
+  unsigned long long digits;
+  const unsigned long long scale =
+      (unsigned long long)llroundl(POW10L[precision + 323]);  // 10^precision
+  if (x == 0.0) {
+    digits = 0;
+  } else {
+    // decimal exponent estimate from the binary exponent (log10(2) slope);
+    // at most one off, corrected after rounding below
+    e10 = (int)((long long)(ilogb(x) * 19728) >> 16);  // 19728/65536~log10(2)
+    if (e10 < -324) e10 = -324;
+    long double m = (long double)x * POW10L[323 - e10];
+    digits = (unsigned long long)llroundl(m * (long double)scale);
+    // re-round at the corrected exponent (dividing the digit string would
+    // truncate instead of round)
+    while (digits >= 10ULL * scale) {
+      e10++;
+      m = (long double)x * POW10L[323 - e10];
+      digits = (unsigned long long)llroundl(m * (long double)scale);
+    }
+    while (digits < scale && digits != 0) {
+      e10--;
+      m = (long double)x * POW10L[323 - e10];
+      digits = (unsigned long long)llroundl(m * (long double)scale);
+    }
+  }
+  // emit precision+1 significant digits: d.ddd...
+  char tmp[24];
+  int nd = precision + 1;
+  for (int i = nd; i > 1; i -= 2) {
+    unsigned rem = (unsigned)(digits % 100ULL);
+    digits /= 100ULL;
+    tmp[i - 1] = DIGIT2[rem * 2 + 1];
+    tmp[i - 2] = DIGIT2[rem * 2];
+  }
+  if (nd & 1) tmp[0] = (char)('0' + (unsigned)(digits % 10ULL));
+  *p++ = tmp[0];
+  *p++ = '.';
+  memcpy(p, tmp + 1, (size_t)precision);
+  p += precision;
+  *p++ = 'e';
+  if (e10 < 0) { *p++ = '-'; e10 = -e10; } else *p++ = '+';
+  if (e10 >= 100) { *p++ = (char)('0' + e10 / 100); e10 %= 100; }
+  *p++ = DIGIT2[e10 * 2];
+  *p++ = DIGIT2[e10 * 2 + 1];
+  return (int)(p - out);
+}
+
 // Rows must be pre-sorted by event (Python does one argsort).  Returns the
 // number of rows written, or -1 on I/O failure.
 long long i3d_write_events(const char *path_pattern, const char *header,
@@ -171,44 +244,70 @@ long long i3d_write_events(const char *path_pattern, const char *header,
 
   std::vector<long long> written(n_threads, 0);
   std::vector<int> failed(n_threads, 0);
+  if (!pow10l_init_done) pow10l_init();
+
+  // fast signed itoa (DIGIT2 pairs)
+  auto format_ll = [](char *out, long long v) -> int {
+    char *p = out;
+    unsigned long long u = (unsigned long long)v;
+    if (v < 0) { *p++ = '-'; u = (unsigned long long)(-v); }
+    char tmp[24];
+    int n = 0;
+    while (u >= 100) {
+      unsigned rem = (unsigned)(u % 100ULL);
+      u /= 100ULL;
+      tmp[n++] = DIGIT2[rem * 2 + 1];
+      tmp[n++] = DIGIT2[rem * 2];
+    }
+    if (u >= 10) {
+      tmp[n++] = DIGIT2[u * 2 + 1];
+      tmp[n++] = DIGIT2[u * 2];
+    } else {
+      tmp[n++] = (char)('0' + u);
+    }
+    while (n) *p++ = tmp[--n];
+    return (int)(p - out);
+  };
 
   auto work = [&](unsigned t) {
-    std::vector<char> buf;
-    buf.reserve(1 << 20);
-    char tmp[64];
+    // raw cursor into a flush buffer: per-token vector inserts cost as much
+    // as the formatting itself at this precision
+    const size_t BUF = 1 << 20;
+    std::vector<char> buf(BUF + 4096);
     char path[4096];
     for (long long e = t; e < n_events; e += n_threads) {
       snprintf(path, sizeof path, path_pattern, e + 1);
       FILE *f = fopen(path, "wb");
       if (!f) { failed[t] = 1; return; }
-      buf.clear();
-      buf.insert(buf.end(), header, header + strlen(header));
-      buf.push_back('\n');
+      char *w = buf.data();
+      size_t hlen = strlen(header);
+      memcpy(w, header, hlen);
+      w += hlen;
+      *w++ = '\n';
       long long row_in_file = 0;
       for (long long r = offsets[e]; r < offsets[e + 1]; r++) {
         if (include_counter) {
-          int k = snprintf(tmp, sizeof tmp, "%lld", row_in_file);
-          buf.insert(buf.end(), tmp, tmp + k);
-          buf.push_back(sep);
+          w += format_ll(w, row_in_file);
+          *w++ = sep;
         }
-        int k = snprintf(tmp, sizeof tmp, "%lld", mcid[r]);
-        buf.insert(buf.end(), tmp, tmp + k);
+        w += format_ll(w, mcid[r]);
         for (int c = 0; c < n_cols; c++) {
-          buf.push_back(sep);
-          k = snprintf(tmp, sizeof tmp, "%.*e", precision, cols[c][r]);
-          buf.insert(buf.end(), tmp, tmp + k);
+          *w++ = sep;
+          w += format_e(w, cols[c][r], precision);
         }
-        buf.push_back('\n');
+        *w++ = '\n';
         row_in_file++;
-        if (buf.size() > (1u << 20)) {
-          if (fwrite(buf.data(), 1, buf.size(), f) != buf.size()) {
+        size_t used = (size_t)(w - buf.data());
+        if (used > BUF) {
+          if (fwrite(buf.data(), 1, used, f) != used) {
             failed[t] = 1; fclose(f); return;
           }
-          buf.clear();
+          w = buf.data();
         }
       }
-      if (!buf.empty() &&
-          fwrite(buf.data(), 1, buf.size(), f) != buf.size()) {
+      size_t used = (size_t)(w - buf.data());
+      if (used &&
+          fwrite(buf.data(), 1, used, f) != used) {
         failed[t] = 1; fclose(f); return;
       }
       fclose(f);

@@ -499,8 +499,11 @@ def _sample_momentum(key, mass, sign, T, chem, count_mask=None,
 
     m = max(1024, n // straggler_frac)
     key1, key2 = jax.random.split(key)
+    # small runs skip the compaction phase: run the single loop to the
+    # phase-2 round budget so no lane is ever round-starved
+    p1_rounds = rounds_phase1 if m < n else rounds_phase2
     accepted, pbar, Ebar, phi2pi, costh, feq, prop = _rejection_loop(
-        key1, mbar, mbar2, sign, chem, light, weq_max, rounds_phase1,
+        key1, mbar, mbar2, sign, chem, light, weq_max, p1_rounds,
         stop_count=m if m < n else 0)
 
     if m < n:

@@ -205,3 +205,45 @@ def test_surface_reader_mode4_old_music(tmp_path):
     s3 = read_surface(p, mode=4, dimension=3, include_baryon=False)
     np.testing.assert_allclose(s3.dan[0], 0.04 * tau)   # kept in 3+1d
     assert s3.eta[0] == 0.7
+
+
+def test_native_event_writer_roundtrip(tmp_path):
+    """The native per-event writer's fast %.Ne formatter must round-trip
+    every finite double exactly at precision 16 (17 significant digits) and
+    match the reference's file layout (csrc/is3d2_io.cpp format_e;
+    EmissionFunction.cpp:674 uses setprecision(16))."""
+    from is3d2_tpu.io.fastio import write_events_fast, _get_lib
+    if _get_lib() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([
+        rng.standard_normal(20000) * 10.0 ** rng.integers(-300, 300, 20000),
+        [0.0, -0.0, 1.0, -1.0, 9.999999999999999, 1e-308, 5e-324, 1.7e308,
+         np.inf, -np.inf, np.nan, 0.1, 0.125, 1e10, -3.5e-7],
+    ])
+    n = len(vals)
+    # two events to exercise the offsets path
+    off = np.array([0, n // 2, n], dtype=np.int64)
+    mcid = np.arange(n, dtype=np.int64) - 100
+    ok = write_events_fast(str(tmp_path / "pl_%lld.dat"), "n pid v", " ", 16,
+                           True, off, mcid, [vals])
+    assert ok
+    got = []
+    for e in (1, 2):
+        with open(tmp_path / f"pl_{e}.dat") as fh:
+            assert next(fh) == "n pid v\n"
+            for i, line in enumerate(fh):
+                t = line.split()
+                assert int(t[0]) == i            # per-file row counter
+                got.append((int(t[1]), t[2]))
+    assert len(got) == n
+    for i, (pid, tok) in enumerate(got):
+        assert pid == i - 100
+        v = float(tok)
+        x = vals[i]
+        if np.isnan(x):
+            assert np.isnan(v)
+        else:
+            assert v == x, f"row {i}: {tok} != {x!r}"

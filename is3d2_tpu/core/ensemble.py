@@ -37,7 +37,7 @@ from ..physics.deltaf import DeltafData, compute_particle_densities
 from .cells import CellArrays, prepare_cells
 from .feqmod import prepare_feqmod
 from .sampler import (prepare_sampler, _finalize_device,
-                      _sample_hadrons_jit)
+                      _sample_hadrons_jit, _species_cdf)
 from .sampler_hist import bin_histograms_device
 from .spectra import (MomentumGridDevice, SpeciesArrays,
                       df12_cell_coefficients, _spectra_df12_jit)
@@ -179,8 +179,9 @@ def sample_ensemble_histograms(surfs, species_table: SpeciesTable, chosen_idx,
     species = cast(species)
 
     def one(setup, key):
-        out = _sample_hadrons_jit(setup, species, mcid, key, cfg, capacity,
-                                  events_per_surface)
+        cdf_flat, cell_rate = _species_cdf(setup.rates)
+        out = _sample_hadrons_jit(setup, species, mcid, cdf_flat, cell_rate,
+                                  key, cfg, capacity, events_per_surface)
         out = _finalize_device(out, setup, cfg)
         hists = bin_histograms_device(out, S, cfg)
         return hists, out["overflow"]

@@ -553,39 +553,85 @@ def _gather(a, idx):
     return jnp.take(a, idx, axis=0)
 
 
+def _species_cdf(rates):
+    """Per-cell species CDF + total rate for the two-level yield draw.
+
+    Computed ONCE per campaign, in its OWN program: (1) the prefix sum runs
+    on the MXU as a triangular matmul -- a cumsum along the 444-wide minor
+    axis costs ~4 s at 1e5 cells (lane-padded log-shift passes), the matmul
+    ~1 ms; (2) the materialized program output has the canonical linear
+    layout, so the per-chunk bisection gathers read it at full HBM speed
+    (gathering from an in-program cumsum product measured 4-6x slower).
+    Adjacent equal-prefix species (zero rate) are never selected by the
+    bisection, and ~1-ulp f32 non-monotonicity between tiny neighbors only
+    reshuffles ~1e-7 of the probability mass."""
+    r32 = rates.astype(jnp.float32)
+    S = r32.shape[1]
+    cum = jax.lax.dot(r32, jnp.triu(jnp.ones((S, S), jnp.float32)),
+                      precision=jax.lax.Precision.HIGHEST)
+    cell_rate = cum[:, -1]
+    cdf = cum / jnp.maximum(cell_rate, 1e-30)[:, None]
+    return cdf.reshape(-1), cell_rate
+
+
+_species_cdf_jit = jax.jit(_species_cdf)
+
+
 @partial(jax.jit, static_argnames=("cfg", "capacity"))
 def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
-                        mcid: jnp.ndarray, key, cfg: Config,
-                        capacity: int, n_events):
+                        mcid: jnp.ndarray, cdf_flat, cell_rate, key,
+                        cfg: Config, capacity: int, n_events):
     """The full flat-hadron pipeline; returns raw per-hadron arrays.
 
     ``n_events`` is traced (NOT static) so an event-chunked campaign with a
-    short remainder chunk reuses one compiled program."""
+    short remainder chunk reuses one compiled program.  ``cdf_flat`` /
+    ``cell_rate`` come from `_species_cdf` (one computation per campaign)."""
     c = setup.cells
     y_max = cfg.y_cut if cfg.dimension == 2 else 0.5
     volume = 2.0 * y_max * setup.ds_max
 
-    key, k_poisson, k_event, k_mom, k_keep, k_rap = jax.random.split(key, 6)
-
-    rates = setup.rates * volume[:, None] * n_events      # (cfill, S)
-    # f32 lambdas: the f64 Poisson sampler is emulated on TPU; a 1e-7
-    # relative rounding of the mean is far below sampling noise
-    counts = jax.random.poisson(k_poisson, rates.astype(jnp.float32))
-    flat_counts = counts.reshape(-1)
-    cum = jnp.cumsum(flat_counts)
-    total = cum[-1]
+    key, k_poisson, k_event, k_mom, k_keep, k_rap, k_sp = jax.random.split(
+        key, 7)
 
     S_count = species.mass.shape[0]
+    # TWO-LEVEL yield draw (Poisson splitting): hadron counts per CELL from
+    # the per-cell total rate, then species per hadron from the cell's
+    # categorical.  One Poisson + cumsum + scatter-decode over the
+    # (cells*species) axis costs ~10 s/chunk at production scale (1e5 x 444
+    # = 44M lanes); the split draws Poissons over 1e5 lanes and assigns
+    # species with a 9-step CDF bisection at hadron width.  The joint
+    # distribution is identical (independent Poissons <=> Poisson total +
+    # multinomial split).
+    lam = (cell_rate * volume.astype(jnp.float32)) * \
+        jnp.asarray(n_events, jnp.float32)
+    counts = jax.random.poisson(k_poisson, lam)          # (cfill,)
+    cum = jnp.cumsum(counts)
+    total = cum[-1]
+
     h = jnp.arange(capacity)
     valid = h < total
-    # run-length decode: bucket[h] = #{j : cum[j] <= h}, via one scatter-add
-    # of boundary markers + a cumsum.  A searchsorted here costs ~80x (24
-    # binary-search steps, each a random gather pass over the hadron axis).
+    # run-length decode: cell_idx[h] = #{c : cum[c] <= h}, via one
+    # scatter-add of boundary markers + a cumsum.  A searchsorted here
+    # costs ~80x (24 binary-search steps, each a random gather pass over
+    # the hadron axis).
     marks = jnp.zeros(capacity, jnp.int32).at[
         jnp.minimum(cum, capacity)].add(1, mode="drop")
-    bucket = jnp.minimum(jnp.cumsum(marks), flat_counts.shape[0] - 1)
-    cell_idx = bucket // S_count
-    sp_idx = bucket % S_count
+    cell_idx = jnp.minimum(jnp.cumsum(marks), counts.shape[0] - 1)
+
+    # species: inverse-CDF bisection in the cell's row (flattened gathers;
+    # ceil(log2(S)) rounds x one gather each)
+    u_sp = jax.random.uniform(k_sp, (capacity,), dtype=jnp.float32)
+    base = cell_idx * S_count
+    lo = jnp.zeros(capacity, jnp.int32)          # first index with cdf > u
+    hi = jnp.full(capacity, S_count - 1, jnp.int32)
+    n_steps = max(1, int(np.ceil(np.log2(S_count)))) if S_count > 1 else 0
+    for _ in range(n_steps):
+        mid = (lo + hi) >> 1
+        cmid = jnp.take(cdf_flat, base + mid, axis=0)
+        go_right = cmid <= u_sp
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    sp_idx = jnp.minimum(lo, S_count - 1)
 
     # per-hadron species properties: ONE packed gather, FIELD-MAJOR.  The
     # field axis must be the major (sublane) axis: a (hadrons, 3) gather
@@ -944,6 +990,9 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
     setup = dataclasses.replace(cast(setup), rates=rates64)
     species = cast(species)
 
+    # per-cell species CDF: one campaign-level computation (see _species_cdf)
+    cdf_flat, cell_rate = _species_cdf_jit(setup.rates)
+
     retries = 0
     chunks = []
     for c in range(n_chunks):
@@ -954,7 +1003,8 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
         k = key if n_chunks == 1 else jax.random.fold_in(key, c)
         cap = capacity
         while True:
-            out = _sample_hadrons_jit(setup, species, mcid, k, cfg, cap, n_ev)
+            out = _sample_hadrons_jit(setup, species, mcid, cdf_flat,
+                                      cell_rate, k, cfg, cap, n_ev)
             if not bool(out["overflow"]):
                 break
             # grow to the actual Poisson total (known exactly from the failed

@@ -179,9 +179,10 @@ def sample_ensemble_histograms(surfs, species_table: SpeciesTable, chosen_idx,
     species = cast(species)
 
     def one(setup, key):
-        cdf_flat, cell_rate = _species_cdf(setup.rates)
-        out = _sample_hadrons_jit(setup, species, mcid, cdf_flat, cell_rate,
-                                  key, cfg, capacity, events_per_surface)
+        cdf_flat, cdf_coarse, cell_rate = _species_cdf(setup.rates)
+        out = _sample_hadrons_jit(setup, species, mcid, cdf_flat, cdf_coarse,
+                                  cell_rate, key, cfg, capacity,
+                                  events_per_surface)
         out = _finalize_device(out, setup, cfg)
         hists = bin_histograms_device(out, S, cfg)
         return hists, out["overflow"]

@@ -553,8 +553,15 @@ def _gather(a, idx):
     return jnp.take(a, idx, axis=0)
 
 
+# coarse-level stride for the two-stage species bisection: the first
+# bisection stage runs on a 1/16-size table (cache-friendly gathers), the
+# second resolves the final 16-entry window in the full table
+_CDF_COARSE_STRIDE = 16
+
+
 def _species_cdf(rates):
-    """Per-cell species CDF + total rate for the two-level yield draw.
+    """Per-cell species CDF (+ 1/16-stride coarse level + total rate) for
+    the two-level yield draw.
 
     Computed ONCE per campaign, in its OWN program: (1) the prefix sum runs
     on the MXU as a triangular matmul -- a cumsum along the 444-wide minor
@@ -571,7 +578,11 @@ def _species_cdf(rates):
                       precision=jax.lax.Precision.HIGHEST)
     cell_rate = cum[:, -1]
     cdf = cum / jnp.maximum(cell_rate, 1e-30)[:, None]
-    return cdf.reshape(-1), cell_rate
+    st = _CDF_COARSE_STRIDE
+    coarse = cdf[:, st - 1::st]                  # coarse[j] = cdf[(j+1)st-1]
+    if coarse.shape[1] * st < S:
+        coarse = jnp.concatenate([coarse, cdf[:, -1:]], axis=1)
+    return cdf.reshape(-1), coarse.reshape(-1), cell_rate
 
 
 _species_cdf_jit = jax.jit(_species_cdf)
@@ -579,13 +590,14 @@ _species_cdf_jit = jax.jit(_species_cdf)
 
 @partial(jax.jit, static_argnames=("cfg", "capacity"))
 def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
-                        mcid: jnp.ndarray, cdf_flat, cell_rate, key,
-                        cfg: Config, capacity: int, n_events):
+                        mcid: jnp.ndarray, cdf_flat, cdf_coarse, cell_rate,
+                        key, cfg: Config, capacity: int, n_events):
     """The full flat-hadron pipeline; returns raw per-hadron arrays.
 
     ``n_events`` is traced (NOT static) so an event-chunked campaign with a
     short remainder chunk reuses one compiled program.  ``cdf_flat`` /
-    ``cell_rate`` come from `_species_cdf` (one computation per campaign)."""
+    ``cdf_coarse`` / ``cell_rate`` come from `_species_cdf` (one
+    computation per campaign)."""
     c = setup.cells
     y_max = cfg.y_cut if cfg.dimension == 2 else 0.5
     volume = 2.0 * y_max * setup.ds_max
@@ -618,14 +630,28 @@ def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
         jnp.minimum(cum, capacity)].add(1, mode="drop")
     cell_idx = jnp.minimum(jnp.cumsum(marks), counts.shape[0] - 1)
 
-    # species: inverse-CDF bisection in the cell's row (flattened gathers;
-    # ceil(log2(S)) rounds x one gather each)
+    # species: two-stage inverse-CDF bisection (first on the 1/16-stride
+    # coarse table -- ~16x smaller, cache-friendly gathers -- then the final
+    # 16-entry window in the full table; 5+4 gathers vs 9 full-table ones)
     u_sp = jax.random.uniform(k_sp, (capacity,), dtype=jnp.float32)
+    st = _CDF_COARSE_STRIDE
+    nc = (S_count + st - 1) // st
+    lo = jnp.zeros(capacity, jnp.int32)
+    if nc > 1:
+        base_c = cell_idx * nc
+        hi = jnp.full(capacity, nc - 1, jnp.int32)
+        for _ in range(max(1, int(np.ceil(np.log2(nc))))):
+            mid = (lo + hi) >> 1
+            cmid = jnp.take(cdf_coarse, base_c + mid, axis=0)
+            go_right = cmid <= u_sp
+            lo = jnp.where(go_right, mid + 1, lo)
+            hi = jnp.where(go_right, hi, mid)
+    block = jnp.minimum(lo, nc - 1)              # coarse block holding u
+
     base = cell_idx * S_count
-    lo = jnp.zeros(capacity, jnp.int32)          # first index with cdf > u
-    hi = jnp.full(capacity, S_count - 1, jnp.int32)
-    n_steps = max(1, int(np.ceil(np.log2(S_count)))) if S_count > 1 else 0
-    for _ in range(n_steps):
+    lo = block * st                              # first index with cdf > u
+    hi = jnp.minimum(lo + (st - 1), S_count - 1)
+    for _ in range(max(1, int(np.ceil(np.log2(st))))):
         mid = (lo + hi) >> 1
         cmid = jnp.take(cdf_flat, base + mid, axis=0)
         go_right = cmid <= u_sp
@@ -925,8 +951,14 @@ def _concat_chunks(chunks: list[dict]) -> dict:
 def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
                      df_data: DeltafData, cfg: Config, laguerre: GaussLaguerre,
                      n_events: int, seed: int | None = None,
-                     capacity: int | None = None, report=None):
+                     capacity: int | None = None, report=None,
+                     chunk_consumer=None):
     """Run the sampler; returns the raw per-hadron dict (device arrays).
+
+    With ``chunk_consumer`` (a callable taking one finalized chunk dict),
+    chunks are streamed to it instead of concatenated, and only the summed
+    scalar diagnostics are returned -- the histogram path binning each
+    chunk on device never materializes the campaign-wide hadron axis.
 
     If the Poisson total overflows the flat-hadron capacity (a >6-sigma
     fluctuation, or a caller-forced small capacity), the run is retried with
@@ -991,48 +1023,72 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
     species = cast(species)
 
     # per-cell species CDF: one campaign-level computation (see _species_cdf)
-    cdf_flat, cell_rate = _species_cdf_jit(setup.rates)
+    cdf_flat, cdf_coarse, cell_rate = _species_cdf_jit(setup.rates)
 
-    retries = 0
-    chunks = []
-    for c in range(n_chunks):
-        ev0 = c * events_per_chunk
-        n_ev = min(events_per_chunk, n_events - ev0)
-        # single-chunk campaigns keep the undivided key (bit-identical to the
-        # pre-chunking sampler); chunked ones get independent streams
-        k = key if n_chunks == 1 else jax.random.fold_in(key, c)
-        cap = capacity
-        while True:
-            out = _sample_hadrons_jit(setup, species, mcid, cdf_flat,
-                                      cell_rate, k, cfg, cap, n_ev)
-            if not bool(out["overflow"]):
-                break
-            # grow to the actual Poisson total (known exactly from the failed
-            # attempt: the counts depend only on the key and rates) + margin
-            total = int(out["total"])
-            cap = total + max(total // 64, 1024)
-            retries += 1
-            print(f"sampler capacity overflow (total {total}); retrying with "
-                  f"capacity {cap}", flush=True)
-            if retries > 4 * n_chunks:
-                raise RuntimeError("sampler capacity overflow persists after "
-                                   f"{retries} retries (total {total})")
-        if n_chunks > 1:
-            out["event"] = out["event"] + ev0
-        chunks.append(_finalize_chunk(out, setup, cfg))
+    retry_box = [0]
+
+    def iter_chunks():
+        for c in range(n_chunks):
+            ev0 = c * events_per_chunk
+            n_ev = min(events_per_chunk, n_events - ev0)
+            # single-chunk campaigns keep the undivided key (bit-identical
+            # to the pre-chunking sampler); chunked ones get independent
+            # streams
+            k = key if n_chunks == 1 else jax.random.fold_in(key, c)
+            cap = capacity
+            while True:
+                out = _sample_hadrons_jit(setup, species, mcid, cdf_flat,
+                                          cdf_coarse, cell_rate, k, cfg,
+                                          cap, n_ev)
+                if not bool(out["overflow"]):
+                    break
+                # grow to the actual Poisson total (known exactly from the
+                # failed attempt: the counts depend only on the key and
+                # rates) + margin
+                total = int(out["total"])
+                cap = total + max(total // 64, 1024)
+                retry_box[0] += 1
+                print(f"sampler capacity overflow (total {total}); retrying "
+                      f"with capacity {cap}", flush=True)
+                if retry_box[0] > 4 * n_chunks:
+                    raise RuntimeError("sampler capacity overflow persists "
+                                       f"after {retry_box[0]} retries "
+                                       f"(total {total})")
+            if n_chunks > 1:
+                out["event"] = out["event"] + ev0
+            yield _finalize_chunk(out, setup, cfg)
+
+    def fill_report(out):
+        retries = retry_box[0]
+        if report is not None:
+            report.n_cells = surf.n_cells
+            report.mom_proposals = int(out["mom_proposals"])
+            report.mom_acceptances = int(out["mom_acceptances"])
+            report.hadrons_drawn = int(out["drawn"])
+            report.hadrons_kept = int(out["kept"])
+            report.dropped_lanes = int(out["dropped"])
+            report.sampler_capacity_retries = retries
+            if cfg.df_mode in (3, 4, 5):
+                report.record_breakdown(setup.breaks_down, setup.cells.tau,
+                                        setup.cells.mask)
+
+    if chunk_consumer is not None:
+        # stream chunks to the consumer (e.g. per-chunk histogram binning:
+        # bucketed pads reuse cached programs, and no concatenated
+        # campaign-wide hadron axis is ever materialized); return summed
+        # diagnostics only
+        diags = None
+        for ch in iter_chunks():
+            chunk_consumer(ch)
+            d = {kk: ch[kk] for kk in _SUM_KEYS}
+            diags = d if diags is None else \
+                {kk: diags[kk] + d[kk] for kk in _SUM_KEYS}
+        fill_report(diags)
+        return diags
+
+    chunks = list(iter_chunks())
     out = chunks[0] if n_chunks == 1 else _concat_chunks(chunks)
-
-    if report is not None:
-        report.n_cells = surf.n_cells
-        report.mom_proposals = int(out["mom_proposals"])
-        report.mom_acceptances = int(out["mom_acceptances"])
-        report.hadrons_drawn = int(out["drawn"])
-        report.hadrons_kept = int(out["kept"])
-        report.dropped_lanes = int(out["dropped"])
-        report.sampler_capacity_retries = retries
-        if cfg.df_mode in (3, 4, 5):
-            report.record_breakdown(setup.breaks_down, setup.cells.tau,
-                                    setup.cells.mask)
+    fill_report(out)
     return out
 
 

@@ -104,13 +104,38 @@ def _bin_histograms_jit(out: dict, S: int, cfg: Config) -> dict:
     return bin_histograms_device(out, S, cfg)
 
 
+_BIN_KEYS = ("keep", "sp_idx", "px", "py", "x", "y", "rapidity", "eta", "tau")
+
+
 def bin_sampled_particles(out: dict, S: int, cfg: Config,
                           n_events: int) -> SampledHistograms:
     # one compiled program: eager dispatch of the ~21 scatter-adds costs a
     # device round-trip each on the remote-TPU tunnel
-    needed = ("keep", "sp_idx", "px", "py", "x", "y",
-              "rapidity", "eta", "tau")
-    h = _bin_histograms_jit({k: out[k] for k in needed}, S, cfg)
+    h = _bin_histograms_jit({k: out[k] for k in _BIN_KEYS}, S, cfg)
     return SampledHistograms(
         n_events=n_events,
         **{k: np.asarray(v) for k, v in h.items()})
+
+
+class ChunkBinner:
+    """Streaming histogram accumulator for sample_particles'
+    ``chunk_consumer``: bins each finalized chunk on device (bucketed chunk
+    pads reuse one compiled program) and sums -- the campaign-wide hadron
+    axis is never concatenated or transferred."""
+
+    def __init__(self, S: int, cfg: Config):
+        self.S, self.cfg = S, cfg
+        self._acc = None
+
+    def __call__(self, chunk: dict) -> None:
+        h = _bin_histograms_jit({k: chunk[k] for k in _BIN_KEYS},
+                                self.S, self.cfg)
+        if self._acc is None:
+            self._acc = h
+        else:
+            self._acc = jax.tree_util.tree_map(jnp.add, self._acc, h)
+
+    def result(self, n_events: int) -> SampledHistograms:
+        return SampledHistograms(
+            n_events=n_events,
+            **{k: np.asarray(v) for k, v in self._acc.items()})

@@ -31,7 +31,7 @@ from .core.spacetime import compute_dN_dX
 from .core.polarization import compute_polarization
 from .core.sampler import (compute_total_yield, number_of_events,
                            sample_particles, to_particle_list)
-from .core.sampler_hist import bin_sampled_particles
+from .core.sampler_hist import ChunkBinner, bin_sampled_particles
 from .report import RunReport, check_invariants
 
 
@@ -166,18 +166,26 @@ class IS3D:
             print(f"Estimated total particle yield = {int(Ntot)} particles; "
                   f"sampling {n_events} events", flush=True)
 
-            out = sample_particles(self.surface, self.species, self.chosen_idx,
-                                   self.df_data, cfg, self.laguerre, n_events,
-                                   report=report)
-            self._mark_compute(t_compute, "sampling")
-            tw = time.time()
             if cfg.test_sampler:
-                self.histograms = bin_sampled_particles(out, len(mcids), cfg,
-                                                        n_events)
+                # stream chunks straight into the device-side binner: the
+                # campaign-wide hadron axis is never concatenated (a fresh
+                # concat shape would force a new compile every campaign)
+                binner = ChunkBinner(len(mcids), cfg)
+                sample_particles(self.surface, self.species, self.chosen_idx,
+                                 self.df_data, cfg, self.laguerre, n_events,
+                                 report=report, chunk_consumer=binner)
+                self._mark_compute(t_compute, "sampling")
+                tw = time.time()
+                self.histograms = binner.result(n_events)
                 if write:
                     output.write_sampled_histograms(results, mcids,
                                                     self.histograms, cfg)
             else:
+                out = sample_particles(self.surface, self.species,
+                                       self.chosen_idx, self.df_data, cfg,
+                                       self.laguerre, n_events, report=report)
+                self._mark_compute(t_compute, "sampling")
+                tw = time.time()
                 self.final_particles = to_particle_list(out)
                 if write:
                     output.write_particle_list_oscar(results,

@@ -45,9 +45,9 @@ def sharded_sampler_counts(setup: SamplerSetup, species: SpeciesArrays,
              out_specs=(P(), P()), check_vma=False)
     def run(setup_l, species_l, mcid_l, key_l, dev_id):
         k = jax.random.fold_in(key_l, dev_id[0])
-        cdf_flat, cell_rate = _species_cdf(setup_l.rates)
+        cdf_flat, cdf_coarse, cell_rate = _species_cdf(setup_l.rates)
         out = _sample_hadrons_jit(setup_l, species_l, mcid_l, cdf_flat,
-                                  cell_rate, k, cfg,
+                                  cdf_coarse, cell_rate, k, cfg,
                                   capacity_per_device, events_per_device)
         out = _finalize_device(out, setup_l, cfg)
         keep = out["keep"]
@@ -82,9 +82,9 @@ def sharded_sampler_histograms(setup: SamplerSetup, species: SpeciesArrays,
              out_specs=P(), check_vma=False)
     def run(setup_l, species_l, mcid_l, key_l, dev_id):
         k = jax.random.fold_in(key_l, dev_id[0])
-        cdf_flat, cell_rate = _species_cdf(setup_l.rates)
+        cdf_flat, cdf_coarse, cell_rate = _species_cdf(setup_l.rates)
         out = _sample_hadrons_jit(setup_l, species_l, mcid_l, cdf_flat,
-                                  cell_rate, k, cfg,
+                                  cdf_coarse, cell_rate, k, cfg,
                                   capacity_per_device, events_per_device)
         out = _finalize_device(out, setup_l, cfg)
         hists = bin_histograms_device(out, S, cfg)

@@ -376,7 +376,7 @@ def _rejection_loop(key, mbar, mbar2, sign, chem, light, weq_max,
     def body(state):
         rnd, key, accepted, pbar, Ebar, phi2pi, costh, feq, prop_count = state
         key, k1 = jax.random.split(key)
-        u = jax.random.uniform(k1, (9, n), dtype=f32)
+        u = jax.random.uniform(k1, (7, n), dtype=f32)  # rows 0-6 used
         r1, r2, r3 = 1.0 - u[0], 1.0 - u[1], 1.0 - u[2]
         l1, l2, l3 = jnp.log(r1), jnp.log(r2), jnp.log(r3)
 

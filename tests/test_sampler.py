@@ -218,3 +218,37 @@ def test_exact_mode_rates(env, df_mode):
     tot_exact = setups["exact64"].sum()
     tot_fast = setups["fast"].sum()
     assert abs(tot_exact / tot_fast - 1.0) < 0.2
+
+
+def test_streaming_chunk_binner_matches_concat(env):
+    """ChunkBinner (per-chunk device binning, no campaign-wide concat) must
+    give exactly the histograms of binning the concatenated output."""
+    species, grids, laguerre, tables, surf, plasma = env
+    df_data = DeltafData(tables, 1, include_baryon=False)
+    compute_particle_densities(species, df_data, laguerre, plasma)
+    chosen = species.chosen_indices(PIKP)
+    from is3d2_tpu.core.sampler_hist import ChunkBinner, bin_sampled_particles
+
+    n_events = 200
+    base = Config(operation=2, df_mode=1, hrg_eos=3, include_shear_deltaf=1,
+                  include_bulk_deltaf=1, fast=1, cell_block=64)
+    big = sample_particles(surf, species, chosen, df_data, base, laguerre,
+                           n_events=n_events, seed=9)
+    mean_1ev = float(big["drawn"]) / n_events
+    cfg = dataclasses.replace(base,
+                              sampler_chunk_hadrons=mean_1ev * n_events / 4)
+
+    out = sample_particles(surf, species, chosen, df_data, cfg, laguerre,
+                           n_events=n_events, seed=9)
+    ref = bin_sampled_particles(out, len(chosen), cfg, n_events)
+
+    binner = ChunkBinner(len(chosen), cfg)
+    diags = sample_particles(surf, species, chosen, df_data, cfg, laguerre,
+                             n_events=n_events, seed=9, chunk_consumer=binner)
+    hist = binner.result(n_events)
+    assert int(diags["kept"]) == int(out["kept"])
+    for f in ("dN_dy", "dN_deta", "dN_2pipTdpTdy", "dN_dphipdy",
+              "vn_real", "vn_imag", "dN_taudtaudy", "dN_2pirdrdy",
+              "dN_dphisdy"):
+        np.testing.assert_allclose(getattr(hist, f), getattr(ref, f),
+                                   rtol=1e-6, atol=1e-12, err_msg=f)

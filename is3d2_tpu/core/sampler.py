@@ -1027,36 +1027,81 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
 
     retry_box = [0]
 
+    def run_chunk_synced(c, pad=None):
+        """One chunk, synchronously validated (overflow retry loop)."""
+        ev0 = c * events_per_chunk
+        n_ev = min(events_per_chunk, n_events - ev0)
+        k = key if n_chunks == 1 else jax.random.fold_in(key, c)
+        cap = capacity
+        while True:
+            out = _sample_hadrons_jit(setup, species, mcid, cdf_flat,
+                                      cdf_coarse, cell_rate, k, cfg,
+                                      cap, n_ev)
+            if not bool(out["overflow"]):
+                break
+            # grow to the actual Poisson total (known exactly from the
+            # failed attempt: the counts depend only on the key and
+            # rates) + margin
+            total = int(out["total"])
+            cap = total + max(total // 64, 1024)
+            retry_box[0] += 1
+            print(f"sampler capacity overflow (total {total}); retrying "
+                  f"with capacity {cap}", flush=True)
+            if retry_box[0] > 4 * n_chunks:
+                raise RuntimeError("sampler capacity overflow persists "
+                                   f"after {retry_box[0]} retries "
+                                   f"(total {total})")
+        if n_chunks > 1:
+            out["event"] = out["event"] + ev0
+        if pad is None:
+            return _finalize_chunk(out, setup, cfg)
+        return _finalize_jit(out, setup, cfg, pad)
+
     def iter_chunks():
-        for c in range(n_chunks):
+        """Pipelined campaign: chunk 0 runs synced (its measured kept count
+        fixes the compaction pad for the rest), then chunks 1..N-1 are
+        DISPATCHED back-to-back with deferred validation -- no host sync
+        between chunks, so the device queue stays full and the consumer's
+        device->host transfers overlap later chunks' compute (a per-chunk
+        sync serializes compute and transfer and costs ~25% of the stage
+        at production scale)."""
+        first = run_chunk_synced(0)
+        if n_chunks == 1:
+            yield first
+            return
+        kept0 = int(first["kept"])
+        bucket = 8192 if capacity < (4 << 20) else (1 << 20)
+        # 1.25x + 6 sigma margin over chunk 0's kept count (chunk kepts are
+        # iid Poisson-binomial; overrun is detected and the chunk redone)
+        pad = int(kept0 * 1.25 + 6.0 * np.sqrt(max(kept0, 1.0)) + 1024)
+        pad = min(max(bucket, -(-pad // bucket) * bucket), capacity)
+        # dispatch 1..N-1 BEFORE yielding chunk 0: the consumer's
+        # device->host transfer of each chunk then overlaps the compute of
+        # the chunks still queued
+        deferred = []
+        for c in range(1, n_chunks):
             ev0 = c * events_per_chunk
             n_ev = min(events_per_chunk, n_events - ev0)
-            # single-chunk campaigns keep the undivided key (bit-identical
-            # to the pre-chunking sampler); chunked ones get independent
-            # streams
-            k = key if n_chunks == 1 else jax.random.fold_in(key, c)
-            cap = capacity
-            while True:
-                out = _sample_hadrons_jit(setup, species, mcid, cdf_flat,
-                                          cdf_coarse, cell_rate, k, cfg,
-                                          cap, n_ev)
-                if not bool(out["overflow"]):
-                    break
-                # grow to the actual Poisson total (known exactly from the
-                # failed attempt: the counts depend only on the key and
-                # rates) + margin
-                total = int(out["total"])
-                cap = total + max(total // 64, 1024)
+            k = jax.random.fold_in(key, c)
+            out = _sample_hadrons_jit(setup, species, mcid, cdf_flat,
+                                      cdf_coarse, cell_rate, k, cfg,
+                                      capacity, n_ev)
+            out["event"] = out["event"] + ev0
+            fin = _finalize_jit(out, setup, cfg,
+                                pad if pad < capacity else None)
+            deferred.append((c, fin))
+        yield first
+        for c, fin in deferred:
+            # deferred validation: a 6-sigma Poisson overflow or a pad
+            # overrun reruns that chunk synchronously (same key -> same
+            # Poisson counts)
+            if bool(fin["overflow"]) or int(fin["kept"]) > pad:
                 retry_box[0] += 1
-                print(f"sampler capacity overflow (total {total}); retrying "
-                      f"with capacity {cap}", flush=True)
-                if retry_box[0] > 4 * n_chunks:
-                    raise RuntimeError("sampler capacity overflow persists "
-                                       f"after {retry_box[0]} retries "
-                                       f"(total {total})")
-            if n_chunks > 1:
-                out["event"] = out["event"] + ev0
-            yield _finalize_chunk(out, setup, cfg)
+                print(f"chunk {c}: deferred validation failed "
+                      f"(kept {int(fin['kept'])} / pad {pad}); rerunning",
+                      flush=True)
+                fin = run_chunk_synced(c)
+            yield fin
 
     def fill_report(out):
         retries = retry_box[0]
@@ -1090,6 +1135,41 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
     out = chunks[0] if n_chunks == 1 else _concat_chunks(chunks)
     fill_report(out)
     return out
+
+
+class ChunkCollector:
+    """Streaming ``chunk_consumer`` for the particle-list path: converts
+    each finalized chunk to host numpy AS IT ARRIVES, so the device->host
+    transfer of chunk i overlaps the on-device compute of the chunks still
+    queued (the post-hoc to_particle_list conversion serializes transfer
+    after all compute).  ``rapidity`` is not transferred (the writers don't
+    use it)."""
+
+    _FIELDS = ("event", "sp_idx", "mass", "tau", "x", "y", "eta",
+               "t", "z", "E", "px", "py", "pz")
+
+    def __init__(self):
+        self._parts = []
+        self._mcid_table = None
+
+    def __call__(self, ch: dict) -> None:
+        host = jax.device_get({f: ch[f] for f in self._FIELDS
+                               + ("keep", "mcid")})
+        self._mcid_table = host["mcid"]
+        keep = host["keep"]
+        self._parts.append({f: host[f][keep] for f in self._FIELDS})
+
+    def particle_list(self) -> ParticleList:
+        cat = {f: np.concatenate([p[f] for p in self._parts])
+               for f in self._FIELDS}
+        n = cat["event"].shape[0]
+        return ParticleList(
+            valid=np.ones(n, dtype=bool),
+            event=cat["event"],
+            mcid=self._mcid_table[cat["sp_idx"]],
+            tau=cat["tau"], x=cat["x"], y=cat["y"], eta=cat["eta"],
+            t=cat["t"], z=cat["z"], E=cat["E"],
+            px=cat["px"], py=cat["py"], pz=cat["pz"], mass=cat["mass"])
 
 
 def to_particle_list(out) -> ParticleList:

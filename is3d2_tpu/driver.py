@@ -29,8 +29,9 @@ from .physics.deltaf import DeltafData, compute_particle_densities
 from .core.spectra import compute_spectra
 from .core.spacetime import compute_dN_dX
 from .core.polarization import compute_polarization
-from .core.sampler import (compute_total_yield, number_of_events,
-                           sample_particles, to_particle_list)
+from .core.sampler import (ChunkCollector, compute_total_yield,
+                           number_of_events, sample_particles,
+                           to_particle_list)
 from .core.sampler_hist import ChunkBinner, bin_sampled_particles
 from .report import RunReport, check_invariants
 
@@ -181,12 +182,17 @@ class IS3D:
                     output.write_sampled_histograms(results, mcids,
                                                     self.histograms, cfg)
             else:
-                out = sample_particles(self.surface, self.species,
-                                       self.chosen_idx, self.df_data, cfg,
-                                       self.laguerre, n_events, report=report)
+                # stream chunks into host numpy as they finish: the
+                # device->host transfer of each chunk overlaps the compute
+                # of the chunks still queued
+                collector = ChunkCollector()
+                sample_particles(self.surface, self.species,
+                                 self.chosen_idx, self.df_data, cfg,
+                                 self.laguerre, n_events, report=report,
+                                 chunk_consumer=collector)
                 self._mark_compute(t_compute, "sampling")
                 tw = time.time()
-                self.final_particles = to_particle_list(out)
+                self.final_particles = collector.particle_list()
                 if write:
                     output.write_particle_list_oscar(results,
                                                      self.final_particles,

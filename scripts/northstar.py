@@ -55,11 +55,14 @@ def build_surface(path: Path, n_cells: int) -> Path:
 
 
 def make_workdir(wd: Path, surface: Path, params: dict,
-                 extra: dict | None = None) -> Path:
+                 extra: dict | None = None,
+                 chosen_mcids: tuple | None = None) -> Path:
     from oracle.run_oracle import setup_sandbox
-    chosen = np.loadtxt(REPO.parent / "reference/PDG/chosen_particles_smash.dat",
-                        dtype=int)
-    setup_sandbox(wd, params, surface, chosen_mcids=tuple(chosen))
+    if chosen_mcids is None:
+        chosen_mcids = tuple(np.loadtxt(
+            REPO.parent / "reference/PDG/chosen_particles_smash.dat",
+            dtype=int))
+    setup_sandbox(wd, params, surface, chosen_mcids=chosen_mcids)
     if extra:
         with open(wd / "iS3D_parameters.dat", "a") as f:
             for k, v in extra.items():
@@ -175,6 +178,27 @@ def main():
                           {**common, "operation": 2, "test_sampler": 1}, extra)
         results["sampler_histograms"] = run_cli(
             wd, "stage 3: op-2 sampler -> binned histograms")
+
+    if 4 in stages_on:
+        wd = make_workdir(base / "op0", surface, {**common, "operation": 0},
+                          extra)
+        results["spacetime_dN_dX"] = run_cli(
+            wd, "stage 4: op-0 spacetime dN/dX (full SMASH HRG)")
+
+    if 5 in stages_on:
+        # Lambda polarization needs a mode-5 (vorticity-column) surface;
+        # the production polarization use case is the Lambda hyperon
+        pol_surface = base / f"surface_mode5_{args.cells}.dat"
+        if not pol_surface.exists():
+            from surfgen import make_surface, write_mode1
+            sp = make_surface(args.cells, seed=7, shear_scale=0.03,
+                              bulk_scale=0.015)
+            write_mode1(sp, pol_surface, vorticity=True)
+        wd = make_workdir(base / "op5", pol_surface,
+                          {**common, "mode": 5, "operation": 1}, extra,
+                          chosen_mcids=(3122,))
+        results["polarization_lambda"] = run_cli(
+            wd, "stage 5: mode-5 Lambda spin polarization")
 
     out_path = Path(args.out)
     if out_path.exists():

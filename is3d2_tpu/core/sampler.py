@@ -549,10 +549,6 @@ def _sample_momentum(key, mass, sign, T, chem, count_mask=None,
     return E, px, py, pz, feq, accepted, n_prop, n_acc
 
 
-def _gather(a, idx):
-    return jnp.take(a, idx, axis=0)
-
-
 # coarse-level stride for the two-stage species bisection: the first
 # bisection stage runs on a 1/16-size table (cache-friendly gathers), the
 # second resolves the final 16-entry window in the full table
@@ -1027,7 +1023,7 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
 
     retry_box = [0]
 
-    def run_chunk_synced(c, pad=None):
+    def run_chunk_synced(c):
         """One chunk, synchronously validated (overflow retry loop)."""
         ev0 = c * events_per_chunk
         n_ev = min(events_per_chunk, n_events - ev0)
@@ -1053,9 +1049,7 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
                                    f"(total {total})")
         if n_chunks > 1:
             out["event"] = out["event"] + ev0
-        if pad is None:
-            return _finalize_chunk(out, setup, cfg)
-        return _finalize_jit(out, setup, cfg, pad)
+        return _finalize_chunk(out, setup, cfg)
 
     def iter_chunks():
         """Pipelined campaign: chunk 0 runs synced (its measured kept count

@@ -30,9 +30,8 @@ from .core.spectra import compute_spectra
 from .core.spacetime import compute_dN_dX
 from .core.polarization import compute_polarization
 from .core.sampler import (ChunkCollector, compute_total_yield,
-                           number_of_events, sample_particles,
-                           to_particle_list)
-from .core.sampler_hist import ChunkBinner, bin_sampled_particles
+                           number_of_events, sample_particles)
+from .core.sampler_hist import ChunkBinner
 from .report import RunReport, check_invariants
 
 

@@ -252,3 +252,44 @@ def test_streaming_chunk_binner_matches_concat(env):
               "dN_dphisdy"):
         np.testing.assert_allclose(getattr(hist, f), getattr(ref, f),
                                    rtol=1e-6, atol=1e-12, err_msg=f)
+
+
+def test_sampler_closure_3plus1d(env):
+    """3+1d surface: the sampler's midrapidity dN/dy must match the smooth
+    3+1d spectra (no flat y-draw here -- rapidity comes from the cell's
+    spacetime rapidity + LRF kinematics, ParticleSampler.cpp:1069-1104)."""
+    species, grids, laguerre, tables, _surf2d, _plasma2d = env
+    surf = make_surface(60, seed=11, dimension=3, shear_scale=0.03,
+                        bulk_scale=0.01)
+    plasma = surf.thermo_averages()
+
+    cfg = Config(operation=2, df_mode=1, hrg_eos=3, dimension=3,
+                 include_shear_deltaf=1, include_bulk_deltaf=1,
+                 regulate_deltaf=1, outflow=1, fast=1, sampler_seed=3,
+                 y_bins=40, y_cut=5.0, cell_block=64)
+    df_data = DeltafData(tables, 1, include_baryon=False)
+    compute_particle_densities(species, df_data, laguerre, plasma)
+    chosen = species.chosen_indices(PIKP)
+
+    smooth = compute_spectra(surf, species, chosen, grids, df_data, cfg,
+                             laguerre)          # (S, pT, phi, y)
+    w = (grids.pT_weight * grids.pT)[None, :, None] * grids.phi_weight[None, None, :]
+    dN_dy_smooth = np.einsum("pq,spqy->sy", w[0], smooth)   # (S, Ny)
+
+    n_events = 30000
+    out = sample_particles(surf, species, chosen, df_data, cfg, laguerre,
+                           n_events=n_events, seed=3)
+    hist = bin_sampled_particles(out, len(PIKP), cfg, n_events)
+
+    y_w = 2.0 * cfg.y_cut / cfg.y_bins
+    y_mid = -cfg.y_cut + y_w * (np.arange(cfg.y_bins) + 0.5)
+    # central |y| < 1 bins, pion (most stats); hist.dN_dy holds raw counts
+    sel = np.abs(y_mid) < 1.0
+    counts = hist.dN_dy[0, sel]
+    obs = counts / n_events                       # counts per bin per event
+    ref = np.interp(y_mid[sel], grids.y, dN_dy_smooth[0]) * y_w
+    sigma = np.sqrt(np.maximum(counts, 1.0)) / n_events
+    assert counts.sum() > 2000
+    diff = np.abs(obs - ref)
+    assert (diff < 5.0 * sigma + 0.03 * ref).all(), (
+        f"3+1d dN/dy mismatch: {obs} vs {ref}")

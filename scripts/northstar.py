@@ -200,6 +200,30 @@ def main():
         results["polarization_lambda"] = run_cli(
             wd, "stage 5: mode-5 Lambda spin polarization")
 
+    if 6 in stages_on:
+        # famod (df 5, PTMA): the anisotropic path the reference's GPU
+        # backend never shipped -- VAH (Lambda, aT, aL) reconstruction
+        # needs EoS-consistent (E, P) triples
+        fa_surface = base / f"surface_mode6_eos_{args.cells}.dat"
+        if not fa_surface.exists():
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+            from surfgen import make_surface, make_eos_consistent, write_mode6
+            from is3d2_tpu.io.pdg import read_pdg
+            from is3d2_tpu.io.tables import GaussLaguerre
+            ref = REPO.parent / "reference"
+            sp_t = read_pdg(2, ref / "PDG")
+            lag = GaussLaguerre.from_file(
+                ref / "tables/gauss/gla_roots_weights.txt")
+            sf = make_surface(args.cells, seed=7, shear_scale=0.03,
+                              bulk_scale=0.015)
+            sf = make_eos_consistent(sf, sp_t, lag)
+            write_mode6(sf, fa_surface)
+        wd = make_workdir(base / "op6", fa_surface,
+                          {**common, "operation": 1, "df_mode": 5}, extra)
+        results["spectra_famod"] = run_cli(
+            wd, "stage 6: op-1 famod (df 5 PTMA) spectra, full SMASH HRG")
+
     out_path = Path(args.out)
     if out_path.exists():
         try:

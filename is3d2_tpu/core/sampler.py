@@ -4,24 +4,32 @@ TPU-native replacement for the reference's serial sampler
 (ParticleSampler.cpp:25-1134).  The reference nests
 cell -> event -> Poisson hadrons -> per-hadron rejection loops; throughput
 comes from forking whole processes (scripts/run_multithread_sampling_iS3D.py).
-Here everything is one vectorized jax.random program:
+Here everything is one vectorized jax.random program per event chunk:
 
   1. Per-(cell, species) mean yields dn[c,s] (fast mode: cached densities at
-     the surface-averaged (T, muB); exact mode: thermal integrals per cell).
-  2. Hadron counts: a single Poisson draw per (cell, species) with rate
-     Nevents * 2 y_max * ds_max * dn -- statistically identical to the
-     reference's event-by-event Poisson(dn_tot) + categorical species pick
-     (Poisson thinning), with events assigned uniformly per hadron.
-  3. A flat fixed-capacity hadron axis: bucket assignment by run-length
-     decoding the count cumsum (one scatter-add + cumsum), then a single
-     packed row gather of all per-cell/per-species quantities.
+     the surface-averaged (T, muB); exact mode: thermal integrals per cell),
+     reduced once per campaign to per-cell totals + a per-cell species CDF
+     (MXU triangular-matmul prefix sum, `_species_cdf`).
+  2. Hadron counts: one Poisson draw per CELL with rate
+     Nevents * 2 y_max * ds_max * dn_tot, run-length decoded onto a flat
+     fixed-capacity hadron axis (one scatter-add + cumsum); species per
+     hadron by two-stage inverse-CDF bisection (coarse 1/16 table, then the
+     16-entry window).  By Poisson splitting this is statistically
+     identical to the reference's event-by-event Poisson(dn_tot) +
+     categorical species pick, with events assigned uniformly per hadron.
+  3. Packed FIELD-MAJOR gathers of the per-cell / per-species columns at
+     hadron width.
   4. Momentum sampling: the reference's Scott-Pratt light/heavy rejection
-     draws (ParticleSampler.cpp:243-405) as an all-lanes while_loop.
-  5. Viscous + flux weights, keep/reject, LRF -> lab boost, 2+1d rapidity
-     draw (ParticleSampler.cpp:947-1104).
+     draws (ParticleSampler.cpp:243-405) as an adaptive all-lanes
+     while_loop with scatter-compacted straggler phase.
+  5. Viscous + flux weights, keep/reject; then `_finalize_device` compacts
+     to the kept rows and does the LRF -> lab boost + 2+1d rapidity draw at
+     kept width (ParticleSampler.cpp:947-1104).
 
-Outputs either binned sampler-test histograms (BinSampledParticle.cpp) or a
-padded particle list with a validity mask.
+Campaigns larger than sampler_chunk_hadrons run as event chunks: chunk 0
+synced, the rest dispatched back-to-back with deferred validation, streamed
+either to device-side histogram binning (BinSampledParticle.cpp analog) or
+to host numpy for particle-list export (transfers overlap compute).
 """
 
 from __future__ import annotations

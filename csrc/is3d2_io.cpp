@@ -10,6 +10,7 @@
 //                                       the first row)
 //   i3d_parse(path, out, capacity)   -> n_values parsed into out (row-major)
 
+#include <cfloat>
 #include <cmath>
 #include <cstdio>
 #include <cstdlib>
@@ -177,6 +178,12 @@ static const char DIGIT2[201] =
     "75767778798081828384858687888990919293949596979899";
 
 static inline int format_e(char *out, double x, int precision) {
+#if LDBL_MANT_DIG < 64
+  // the digit-string rounding below needs a >=64-bit long-double mantissa
+  // (x87/f128); where long double == double (MSVC, Apple arm64) fall back
+  // to snprintf so the last digit stays exactly rounded
+  return snprintf(out, 64, "%.*e", precision, x);
+#else
   if (!(x == x) || x - x != 0.0 || precision > 17)  // nan, +-inf, odd prec
     return snprintf(out, 64, "%.*e", precision, x);
   char *p = out;
@@ -227,12 +234,16 @@ static inline int format_e(char *out, double x, int precision) {
   *p++ = DIGIT2[e10 * 2];
   *p++ = DIGIT2[e10 * 2 + 1];
   return (int)(p - out);
+#endif  // LDBL_MANT_DIG >= 64
 }
 
-// Rows must be pre-sorted by event (Python does one argsort).  Returns the
-// number of rows written, or -1 on I/O failure.
+// Rows must be pre-sorted by event (Python does one argsort).  Local event e
+// writes file id event_base + e + 1, so a streaming caller can export one
+// chunk's slice [event_base, event_base + n_events) of a larger campaign.
+// Returns the number of rows written, or -1 on I/O failure.
 long long i3d_write_events(const char *path_pattern, const char *header,
                            char sep, int precision, int include_counter,
+                           long long event_base,
                            long long n_events, const long long *offsets,
                            const long long *mcid,
                            const double *const *cols, int n_cols) {
@@ -276,7 +287,7 @@ long long i3d_write_events(const char *path_pattern, const char *header,
     std::vector<char> buf(BUF + 4096);
     char path[4096];
     for (long long e = t; e < n_events; e += n_threads) {
-      snprintf(path, sizeof path, path_pattern, e + 1);
+      snprintf(path, sizeof path, path_pattern, event_base + e + 1);
       FILE *f = fopen(path, "wb");
       if (!f) { failed[t] = 1; return; }
       char *w = buf.data();

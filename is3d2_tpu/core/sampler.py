@@ -947,6 +947,8 @@ def _concat_chunks(chunks: list[dict]) -> dict:
             out[k] = False
         elif k == "mcid":  # the (S,) table, identical across chunks
             out[k] = chunks[0][k]
+        elif k in ("ev0", "n_ev"):  # per-chunk event spans (host ints)
+            continue
         else:
             out[k] = jnp.concatenate([ch[k] for ch in chunks])
     return out
@@ -1031,10 +1033,13 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
 
     retry_box = [0]
 
+    def chunk_span(c):
+        ev0 = c * events_per_chunk
+        return ev0, min(events_per_chunk, n_events - ev0)
+
     def run_chunk_synced(c):
         """One chunk, synchronously validated (overflow retry loop)."""
-        ev0 = c * events_per_chunk
-        n_ev = min(events_per_chunk, n_events - ev0)
+        ev0, n_ev = chunk_span(c)
         k = key if n_chunks == 1 else jax.random.fold_in(key, c)
         cap = capacity
         while True:
@@ -1057,16 +1062,22 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
                                    f"(total {total})")
         if n_chunks > 1:
             out["event"] = out["event"] + ev0
-        return _finalize_chunk(out, setup, cfg)
+        fin = _finalize_chunk(out, setup, cfg)
+        fin["ev0"], fin["n_ev"] = ev0, n_ev
+        return fin
 
     def iter_chunks():
         """Pipelined campaign: chunk 0 runs synced (its measured kept count
         fixes the compaction pad for the rest), then chunks 1..N-1 are
-        DISPATCHED back-to-back with deferred validation -- no host sync
-        between chunks, so the device queue stays full and the consumer's
-        device->host transfers overlap later chunks' compute (a per-chunk
-        sync serializes compute and transfer and costs ~25% of the stage
-        at production scale)."""
+        dispatched with deferred validation through a bounded in-flight
+        window -- no host sync between dispatches, so the device queue stays
+        full and the consumer's device->host transfers (and any streaming
+        format/write work) overlap the compute of the queued chunks (a
+        per-chunk sync serializes compute and transfer and costs ~25% of
+        the stage at production scale).  The window bounds peak HBM to
+        ~window finalized chunks (~13 pad-width arrays each) instead of the
+        whole campaign; consumed chunks drop their last reference at the
+        next popleft."""
         first = run_chunk_synced(0)
         if n_chunks == 1:
             yield first
@@ -1077,13 +1088,13 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
         # iid Poisson-binomial; overrun is detected and the chunk redone)
         pad = int(kept0 * 1.25 + 6.0 * np.sqrt(max(kept0, 1.0)) + 1024)
         pad = min(max(bucket, -(-pad // bucket) * bucket), capacity)
-        # dispatch 1..N-1 BEFORE yielding chunk 0: the consumer's
-        # device->host transfer of each chunk then overlaps the compute of
-        # the chunks still queued
-        deferred = []
-        for c in range(1, n_chunks):
-            ev0 = c * events_per_chunk
-            n_ev = min(events_per_chunk, n_events - ev0)
+
+        import collections
+        window = 4
+        pending = collections.deque()
+
+        def dispatch(c):
+            ev0, n_ev = chunk_span(c)
             k = jax.random.fold_in(key, c)
             out = _sample_hadrons_jit(setup, species, mcid, cdf_flat,
                                       cdf_coarse, cell_rate, k, cfg,
@@ -1091,9 +1102,16 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
             out["event"] = out["event"] + ev0
             fin = _finalize_jit(out, setup, cfg,
                                 pad if pad < capacity else None)
-            deferred.append((c, fin))
+            fin["ev0"], fin["n_ev"] = ev0, n_ev
+            pending.append((c, fin))
+
+        nxt = 1
+        while nxt < n_chunks and len(pending) < window:
+            dispatch(nxt)
+            nxt += 1
         yield first
-        for c, fin in deferred:
+        while pending:
+            c, fin = pending.popleft()
             # deferred validation: a 6-sigma Poisson overflow or a pad
             # overrun reruns that chunk synchronously (same key -> same
             # Poisson counts)
@@ -1103,6 +1121,11 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
                       f"(kept {int(fin['kept'])} / pad {pad}); rerunning",
                       flush=True)
                 fin = run_chunk_synced(c)
+            # top off the window BEFORE yielding: the device computes the
+            # refill while the consumer transfers/formats this chunk
+            if nxt < n_chunks:
+                dispatch(nxt)
+                nxt += 1
             yield fin
 
     def fill_report(out):

@@ -175,34 +175,53 @@ class IS3D:
                                  self.df_data, cfg, self.laguerre, n_events,
                                  report=report, chunk_consumer=binner)
                 self._mark_compute(t_compute, "sampling")
-                tw = time.time()
+                ta = time.time()
                 self.histograms = binner.result(n_events)
+                self.stage_seconds["assemble"] = time.time() - ta
                 if write:
+                    tw = time.time()
                     output.write_sampled_histograms(results, mcids,
                                                     self.histograms, cfg)
+                    self.stage_seconds["write"] = time.time() - tw
+                    print(f"histogram output stage took "
+                          f"{self.stage_seconds['write']:.3f} seconds",
+                          flush=True)
+            elif write:
+                # stream chunks into the event-file exporter AS they finish:
+                # each chunk's device->host transfer, sort and native
+                # format/write overlaps the compute of the chunks still
+                # queued, so only the final chunk's export is exposed
+                # (the post-hoc writer serialized a 44 s export after all
+                # compute on the 1-core host, NORTHSTAR r2)
+                writer = output.StreamingEventWriter(results,
+                                                     csv=bool(cfg.write_csv))
+                sample_particles(self.surface, self.species,
+                                 self.chosen_idx, self.df_data, cfg,
+                                 self.laguerre, n_events, report=report,
+                                 chunk_consumer=writer)
+                self._mark_compute(t_compute, "sampling")
+                ta = time.time()
+                self.final_particles = writer.particle_list()
+                self.stage_seconds["assemble"] = time.time() - ta
+                self.stage_seconds["write"] = writer.write_seconds
+                self.stage_seconds["write_transfer"] = writer.transfer_seconds
+                print(f"particle-list export: {writer.rows_written} rows / "
+                      f"{writer.events_written} events, "
+                      f"{writer.write_seconds:.3f} s host format+write "
+                      f"(overlapped with sampling), "
+                      f"{writer.transfer_seconds:.3f} s device->host",
+                      flush=True)
             else:
-                # stream chunks into host numpy as they finish: the
-                # device->host transfer of each chunk overlaps the compute
-                # of the chunks still queued
+                # library path (no files): stream chunks into host numpy
                 collector = ChunkCollector()
                 sample_particles(self.surface, self.species,
                                  self.chosen_idx, self.df_data, cfg,
                                  self.laguerre, n_events, report=report,
                                  chunk_consumer=collector)
                 self._mark_compute(t_compute, "sampling")
-                tw = time.time()
+                ta = time.time()
                 self.final_particles = collector.particle_list()
-                if write:
-                    output.write_particle_list_oscar(results,
-                                                     self.final_particles,
-                                                     n_events)
-                    if cfg.write_csv:
-                        output.write_particle_list_csv(results,
-                                                       self.final_particles,
-                                                       n_events)
-            self.stage_seconds["write"] = time.time() - tw
-            print(f"histogram/output stage took "
-                  f"{self.stage_seconds['write']:.3f} seconds", flush=True)
+                self.stage_seconds["assemble"] = time.time() - ta
 
         if cfg.mode == 5:
             St, Sx, Sy, Sn, Snorm = compute_polarization(

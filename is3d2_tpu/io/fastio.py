@@ -54,6 +54,7 @@ def _get_lib():
         lib.i3d_write_events.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char,
             ctypes.c_int, ctypes.c_int, ctypes.c_longlong,
+            ctypes.c_longlong,
             ctypes.POINTER(ctypes.c_longlong),
             ctypes.POINTER(ctypes.c_longlong),
             ctypes.POINTER(ctypes.POINTER(ctypes.c_double)), ctypes.c_int]
@@ -66,11 +67,13 @@ def _get_lib():
 def write_events_fast(path_pattern: str, header: str, sep: str,
                       precision: int, include_counter: bool,
                       offsets: np.ndarray, mcid: np.ndarray,
-                      cols: list[np.ndarray]) -> bool:
+                      cols: list[np.ndarray], event_base: int = 0) -> bool:
     """Write per-event particle-list text files with the threaded native
     writer.  Rows must be pre-sorted by event; ``offsets`` has n_events+1
-    entries.  Returns False (caller falls back to the Python writer) when
-    the native library is unavailable."""
+    entries; local event e writes file id ``event_base + e + 1`` (streaming
+    chunk exports pass their chunk's first event id).  Returns False (caller
+    falls back to the Python writer) when the native library is
+    unavailable."""
     lib = _get_lib()
     if lib is None:
         return False
@@ -82,7 +85,7 @@ def write_events_fast(path_pattern: str, header: str, sep: str,
         *[c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)) for c in cols])
     n = lib.i3d_write_events(
         path_pattern.encode(), header.encode(), sep.encode(),
-        precision, int(include_counter), n_events,
+        precision, int(include_counter), int(event_base), n_events,
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
         mcid.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
         col_ptrs, len(cols))

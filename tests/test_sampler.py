@@ -254,6 +254,48 @@ def test_streaming_chunk_binner_matches_concat(env):
                                    rtol=1e-6, atol=1e-12, err_msg=f)
 
 
+def test_streaming_event_writer_matches_posthoc(env, tmp_path):
+    """StreamingEventWriter (per-chunk export, overlapped with compute) must
+    produce byte-identical event files to the post-hoc campaign writer:
+    every event's rows live in exactly one chunk, and the stable per-chunk
+    sort preserves the lane order the campaign-wide sort would give."""
+    species, grids, laguerre, tables, surf, plasma = env
+    df_data = DeltafData(tables, 1, include_baryon=False)
+    compute_particle_densities(species, df_data, laguerre, plasma)
+    chosen = species.chosen_indices(PIKP)
+    from is3d2_tpu.core.sampler import ChunkCollector
+    from is3d2_tpu.io import output
+
+    n_events = 200
+    base = Config(operation=2, df_mode=1, hrg_eos=3, include_shear_deltaf=1,
+                  include_bulk_deltaf=1, fast=1, cell_block=64)
+    big = sample_particles(surf, species, chosen, df_data, base, laguerre,
+                           n_events=n_events, seed=9)
+    mean_1ev = float(big["drawn"]) / n_events
+    cfg = dataclasses.replace(base,
+                              sampler_chunk_hadrons=mean_1ev * n_events / 4)
+
+    coll = ChunkCollector()
+    sample_particles(surf, species, chosen, df_data, cfg, laguerre,
+                     n_events=n_events, seed=9, chunk_consumer=coll)
+    ref_dir = tmp_path / "ref"
+    output.write_particle_list_oscar(ref_dir, coll.particle_list(), n_events)
+    output.write_particle_list_csv(ref_dir, coll.particle_list(), n_events)
+
+    stream_dir = tmp_path / "stream"
+    writer = output.StreamingEventWriter(stream_dir, csv=True)
+    sample_particles(surf, species, chosen, df_data, cfg, laguerre,
+                     n_events=n_events, seed=9, chunk_consumer=writer)
+    assert writer.events_written == n_events
+    assert writer.particle_list().n_valid == coll.particle_list().n_valid
+
+    for e in range(1, n_events + 1):
+        for stem in ("particle_list_osc", "particle_list"):
+            a = (ref_dir / f"{stem}_{e}.dat").read_bytes()
+            b = (stream_dir / f"{stem}_{e}.dat").read_bytes()
+            assert a == b, f"{stem}_{e}.dat differs"
+
+
 def test_sampler_closure_3plus1d(env):
     """3+1d surface: the sampler's midrapidity dN/dy must match the smooth
     3+1d spectra (no flat y-draw here -- rapidity comes from the cell's

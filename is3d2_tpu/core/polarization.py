@@ -111,7 +111,13 @@ def compute_polarization(surf, species_table: SpeciesTable,
     species = SpeciesArrays.from_table(species_table, chosen_idx)
     grid = MomentumGridDevice.from_grids(grids, cfg.dimension)
     delta_eta = float(grids.eta[1] - grids.eta[0]) if len(grids.eta) > 1 else 1.0
-    acc = _polzn_jit(cells, species, grid, float(plasma.temperature), cfg,
-                     n_blocks, delta_eta)
+    if cfg.compute_dtype == "f32":
+        from .polarization_fast import compute_polarization_fast
+        acc = compute_polarization_fast(cells, species, grid,
+                                        float(plasma.temperature), cfg,
+                                        n_blocks, delta_eta)
+    else:
+        acc = _polzn_jit(cells, species, grid, float(plasma.temperature), cfg,
+                         n_blocks, delta_eta)
     out = np.asarray(acc)
     return out[0], out[1], out[2], out[3], out[4]

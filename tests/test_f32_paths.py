@@ -54,6 +54,48 @@ def test_f32_matches_f64(reference_dir, df_mode):
     assert err < 3e-4, f"df{df_mode}: f32 vs f64 max rel err {err:.2e}"
 
 
+@pytest.mark.parametrize("dimension", [2, 3])
+def test_polarization_f32_matches_f64(reference_dir, dimension):
+    """Polarization fast path (core/polarization_fast.py).
+
+    Two metrics, because the raw spin sums St..Sn cancel across cells (the
+    vorticity-weighted summands average near zero), so a plain relative
+    error on a near-cancelled bin measures rounding noise, not physics:
+      1. Snorm (positive CF weight, no cancellation): relative on
+         significant bins, spectra-class bound (measured ~5e-6).
+      2. The physical observable P^mu = S^mu/Snorm: absolute error
+         normalized by the maximum polarization magnitude over occupied
+         bins (measured ~1e-6 in both dimensions)."""
+    from is3d2_tpu.core.polarization import compute_polarization
+
+    species = read_pdg(3, reference_dir / "PDG")
+    grids = MomentumGrids.from_dir(reference_dir / "tables")
+    surf = make_surface(48, seed=41, dimension=dimension, vorticity=True)
+    plasma = surf.thermo_averages()
+
+    cfg64 = Config(operation=1, mode=5, df_mode=1, hrg_eos=3,
+                   dimension=dimension, cell_block=16, compute_dtype="f64")
+    cfg32 = dataclasses.replace(cfg64, compute_dtype="f32")
+    chosen = species.chosen_indices(PIKP)
+
+    a = compute_polarization(surf, species, chosen, grids, plasma, cfg64)
+    b = compute_polarization(surf, species, chosen, grids, plasma, cfg32)
+
+    n64, n32 = a[4], b[4]
+    sig = n64 > 1e-6 * n64.max()
+    nerr = (np.abs(n32 - n64) / np.maximum(n64, 1e-300))[sig].max()
+    assert nerr < 2e-5, f"{dimension}d Snorm: f32 vs f64 rel err {nerr:.2e}"
+
+    good = n64 > 1e-3 * n64.max()
+    for name, x64, x32 in zip(("St", "Sx", "Sy", "Sn"), a, b):
+        P64 = x64 / np.maximum(n64, 1e-300)
+        P32 = x32 / np.maximum(n32, 1e-300)
+        pmax = np.abs(P64[good]).max()
+        perr = np.abs(P32 - P64)[good].max() / max(pmax, 1e-300)
+        assert perr < 1e-5, \
+            f"{dimension}d {name}: polarization err {perr:.2e} of max |P| {pmax:.2e}"
+
+
 @pytest.mark.parametrize("df_mode", [1, 3, 5])
 def test_f32_matches_f64_3d(reference_dir, df_mode):
     """3+1d light-cone fast path: f32 vs f64 on per-species significant bins.

@@ -90,16 +90,58 @@ def vah_from_surface(surf, n_padded: int):
             "upsilonB_over_lam": pad(ups / np.maximum(lam, 1e-300), 0.0)}
 
 
+@partial(jax.jit, static_argnames=("n_blocks",))
+def _reconstruct_f64_jit(cells: CellArrays, mass_pdg, sign_pdg, deg_pdg,
+                         n_blocks: int):
+    """f64 VAH Newton + famod coefficient integrals on device, cell-blocked.
+
+    The f32 fast path used to run the whole reconstruction in f32: the
+    solver's Lambda rounding is amplified ~exp(E/Lambda) by the spectra
+    (measured 2-3e-4 vs the f64 path, 300x the df 1-4 class).  The solve is
+    per-cell only (no momentum axis), so running it in f64 costs a small
+    fraction of the spectra; lax.map over cell blocks bounds the
+    (cells x 320 species x 16 quad) f64 working set that a single batch
+    would materialize (~4 GB at 1e5 cells)."""
+    c = cells
+    basis = lrf.milne_basis(c.tau, c.ux, c.uy, c.un)
+    pi = lrf.boost_shear(basis, c.tau, c.pitt, c.pitx, c.pity, c.pitn,
+                         c.pixx, c.pixy, c.pixn, c.piyy, c.piyn, c.pinn)
+    pl = c.P + c.bulkPi + pi.zz
+    pt = c.P + c.bulkPi - pi.zz / 2.0
+
+    def blocked(a):
+        return a.astype(jnp.float64).reshape(n_blocks, -1)
+
+    def solve(args):
+        E_b, pl_b, pt_b, T_b = args
+        sol = find_anisotropic_variables(E_b, pl_b, pt_b, T_b,
+                                         jnp.ones_like(T_b),
+                                         jnp.ones_like(T_b),
+                                         mass_pdg, sign_pdg, deg_pdg)
+        bpp, bwp = compute_famod_coefficients(sol.lam, sol.aT, sol.aL,
+                                              mass_pdg, sign_pdg, deg_pdg)
+        return sol.lam, sol.aT, sol.aL, sol.failed, bpp, bwp
+
+    lam, aT, aL, failed, bpp, bwp = jax.lax.map(
+        solve, (blocked(c.E), blocked(pl), blocked(pt), blocked(c.T)))
+    return {"lam": lam.reshape(-1), "aT": aT.reshape(-1),
+            "aL": aL.reshape(-1), "failed": failed.reshape(-1),
+            "betapiperp": bpp.reshape(-1), "betaWperp": bwp.reshape(-1)}
+
+
 def prepare_famod(cells: CellArrays, species_table: SpeciesTable,
                   cfg: Config, vah: dict | None = None) -> FamodCellData:
     """VAH reconstruction + famod cell data.
 
     The batched Newton solve over (cells x <=320 species x 16 quadrature
     points) is the only setup-scale computation that is not tiny (minutes on
-    the host at 1e4+ cells).  When the result feeds the f32 fast kernel it
-    runs jitted on the default device in f32 (the solver tolerance is 1e-4
-    and all integrands use overflow-safe weights); the f64 broadcast path
-    keeps the host f64 solve for golden parity.
+    the host at 1e4+ cells).  When the result feeds the f32 fast kernel the
+    solve runs jitted on the default device in f64 (cell-blocked,
+    `_reconstruct_f64_jit`) and only the cheap per-cell algebra and the
+    spectra contraction stay f32 -- this keeps the f32 famod spectra in the
+    df 1-4 accuracy class (~1e-5) instead of the 2-3e-4 a fully-f32 Newton
+    gives; the f64 broadcast path keeps the host f64 solve for golden
+    parity.
 
     vah: optional padded (lam, aT, aL, upsilonB_over_lam) arrays from a
     legacy VAH surface (modes 2/3) -- used directly, skipping the Newton
@@ -117,9 +159,22 @@ def prepare_famod(cells: CellArrays, species_table: SpeciesTable,
 
         # pin to the accelerator: may be called inside a host_prep context
         with jax.default_device(jax.devices()[0]):
+            sol = None
+            if vah is None:
+                # smallest divisor of n_padded keeping blocks <= 16384
+                # cells (n_padded is a multiple of cell_block, so a small
+                # divisor always exists)
+                n_blocks = max(-(-cells.n_padded // 16384), 1)
+                while cells.n_padded % n_blocks:
+                    n_blocks += 1
+                sol = _reconstruct_f64_jit(cells, mass_pdg, sign_pdg,
+                                           deg_pdg, n_blocks)
+                sol = {k: (v if v.dtype == jnp.bool_ else v.astype(f32))
+                       for k, v in sol.items()}
             return _prepare_famod_body(cast(cells), mass_pdg.astype(f32),
                                        sign_pdg.astype(f32),
-                                       deg_pdg.astype(f32), cfg, cast(vah))
+                                       deg_pdg.astype(f32), cfg, cast(vah),
+                                       sol)
     return _prepare_famod_host(cells, mass_pdg, sign_pdg, deg_pdg, cfg, vah)
 
 
@@ -130,7 +185,8 @@ def _prepare_famod_host(cells, mass_pdg, sign_pdg, deg_pdg, cfg, vah=None):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _prepare_famod_body(cells: CellArrays, mass_pdg, sign_pdg, deg_pdg,
-                        cfg: Config, vah: dict | None = None) -> FamodCellData:
+                        cfg: Config, vah: dict | None = None,
+                        sol: dict | None = None) -> FamodCellData:
     c = cells
 
     basis = lrf.milne_basis(c.tau, c.ux, c.uy, c.un)
@@ -157,18 +213,27 @@ def _prepare_famod_body(cells: CellArrays, mass_pdg, sign_pdg, deg_pdg,
         recon_failed = (lam <= 0.0) | (aT <= 0.0) | (aL <= 0.0)
         breaks = recon_failed
         upsilonB = vah["upsilonB_over_lam"]
+        betapiperp, betaWperp = compute_famod_coefficients(
+            lam, aT, aL, mass_pdg, sign_pdg, deg_pdg)
+    elif sol is not None:
+        # precomputed f64 device reconstruction (_reconstruct_f64_jit)
+        recon_failed = sol["failed"]
+        breaks = recon_failed | pl_negative
+        lam, aT, aL = sol["lam"], sol["aT"], sol["aL"]
+        betapiperp, betaWperp = sol["betapiperp"], sol["betaWperp"]
+        upsilonB = c.alphaB
     else:
         # reconstruct anisotropic variables from the equilibrium guess;
         # guard negative (pl, pt) inputs (they mark breakdown anyway)
-        sol = find_anisotropic_variables(c.E, pl, pt, c.T,
-                                         jnp.ones_like(c.T), jnp.ones_like(c.T),
-                                         mass_pdg, sign_pdg, deg_pdg)
-        recon_failed = sol.failed
+        s = find_anisotropic_variables(c.E, pl, pt, c.T,
+                                       jnp.ones_like(c.T), jnp.ones_like(c.T),
+                                       mass_pdg, sign_pdg, deg_pdg)
+        recon_failed = s.failed
         breaks = recon_failed | pl_negative
-        lam, aT, aL = sol.lam, sol.aT, sol.aL
+        lam, aT, aL = s.lam, s.aT, s.aL
         upsilonB = c.alphaB
-    betapiperp, betaWperp = compute_famod_coefficients(lam, aT, aL, mass_pdg,
-                                                       sign_pdg, deg_pdg)
+        betapiperp, betaWperp = compute_famod_coefficients(
+            lam, aT, aL, mass_pdg, sign_pdg, deg_pdg)
     shear_coeff = 0.5 / betapiperp
     diff_coeff = 1.0 / betaWperp
 

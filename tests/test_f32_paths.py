@@ -49,9 +49,10 @@ def test_f32_matches_f64(reference_dir, df_mode):
     scale = np.abs(a).max()
     sig = np.abs(a) > 1e-8 * scale
     err = (np.abs(b - a) / np.maximum(np.abs(a), 1e-300))[sig].max()
-    # f32 compute: exp amplifies rounding of u.p/T (~30 * eps_f32);
-    # feqmod/famod accumulate fully in f32
-    assert err < 3e-4, f"df{df_mode}: f32 vs f64 max rel err {err:.2e}"
+    # f32 compute: exp amplifies rounding of u.p/T (~30 * eps_f32); famod's
+    # VAH Newton runs in f64 on device (_reconstruct_f64_jit), so df 5 sits
+    # in the same class (measured 4e-6)
+    assert err < 2e-5, f"df{df_mode}: f32 vs f64 max rel err {err:.2e}"
 
 
 @pytest.mark.parametrize("dimension", [2, 3])
@@ -102,8 +103,8 @@ def test_f32_matches_f64_3d(reference_dir, df_mode):
 
     Measured: df 1-4 <= ~7e-6 (the light-cone basis keeps pt/tau*pn sums of
     positives, so the only amplification is exp rounding of u.p/T); famod
-    <= ~2e-4 (its VAH (lambda, aT, aL) Newton reconstruction also runs in
-    f32, and exp(-E/lambda) amplifies lambda's rounding)."""
+    ~1e-5 (the VAH (lambda, aT, aL) Newton runs in f64 on device, leaving
+    only the contraction's exp(-E/lambda) rounding)."""
     species = read_pdg(3, reference_dir / "PDG")
     grids = MomentumGrids.from_dir(reference_dir / "tables")
     laguerre = GaussLaguerre.from_file(reference_dir / "tables/gauss/gla_roots_weights.txt")
@@ -127,5 +128,5 @@ def test_f32_matches_f64_3d(reference_dir, df_mode):
     scale_s = np.abs(a).max(axis=(1, 2, 3), keepdims=True)
     sig = np.abs(a) > 1e-6 * scale_s
     err = (np.abs(b - a) / np.maximum(np.abs(a), 1e-300))[sig].max()
-    bound = 2e-5 if df_mode != 5 else 3e-4
+    bound = 2e-5 if df_mode != 5 else 3e-5
     assert err < bound, f"3+1d df{df_mode}: f32 vs f64 max rel err {err:.2e}"

@@ -33,8 +33,21 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def measure_oracle_evals_per_sec(tmp: Path) -> float:
-    """Single-thread reference binary throughput on this host."""
+# Observed single-thread oracle rates on this burstable 1-core host
+# (evals/s, "Spectra calculation took" timer, best-of-3 per session).
+# The binary's speed varies ~45x with CPU credit; BASELINE.json carries
+# the same record.  FLOOR = fastest observed mode, granted to the
+# baseline so vs_baseline is conservative; MEDIAN = middle of the
+# observed best-of-3 session rates, the typical sustained mode.
+ORACLE_OBSERVED = [1.856e7, 2.057e7]   # BENCH_r01, BENCH_r02
+ORACLE_FLOOR = 2.057e7                 # fastest observed session
+
+
+def measure_oracle_evals_per_sec(tmp: Path):
+    """Single-thread reference binary throughput on this host.
+
+    Returns (measured, floor): the session's best-of-3 rate and the
+    all-time fastest observed rate (>= measured by construction)."""
     try:
         from surfgen import make_surface, write_mode1
         from oracle.run_oracle import setup_sandbox, run_oracle
@@ -59,14 +72,10 @@ def measure_oracle_evals_per_sec(tmp: Path) -> float:
         evals = 600 * 3 * 51 * 1 * 24  # default tables: 1 phi point
         rate = evals / max(secs, 1e-9)
         log(f"oracle: {secs:.3f}s for {evals:.3e} evals -> {rate:.3e} evals/s")
-        # the burstable 1-core host runs this binary anywhere between
-        # 4.2e5 and 1.9e7 evals/s depending on CPU credit; grant the
-        # baseline its fastest observed mode so vs_baseline is stable and
-        # conservative
-        return max(rate, 1.9e7)
+        return rate, max(rate, ORACLE_FLOOR)
     except Exception as e:  # no compiler / no reference checkout
         log(f"oracle baseline unavailable ({e}); using cached host measurement")
-        return 1.9e7  # fastest single-thread g++ -O2 mode observed on this host
+        return ORACLE_FLOOR, ORACLE_FLOOR
 
 
 def measure_sampler(surf, species_t, chosen, df_data, cfg, ref):
@@ -133,6 +142,84 @@ def measure_sampler(surf, species_t, chosen, df_data, cfg, ref):
     return kept / best, drawn / best
 
 
+def _steady(fn, label, repeats=3):
+    """Compile+first call, then best-of-``repeats`` steady-state seconds."""
+    t0 = time.time()
+    fn()
+    tc = time.time() - t0
+    times = []
+    for _ in range(repeats):
+        t0 = time.time()
+        fn()
+        times.append(time.time() - t0)
+    best = min(times)
+    log(f"{label}: compile+first {tc:.1f}s, steady best {best:.3f}s "
+        f"(of {['%.3f' % t for t in times]})")
+    return best
+
+
+def measure_engines(species_t, grids, tables, ref, laguerre):
+    """Steady-state seconds per production call of every non-Grad engine on
+    a fixed 4096-cell full-HRG shape (VERDICT r2 item 5: regressions in
+    feqmod/famod/dN_dX/polarization were invisible to the Grad-14 metric).
+    Each call is the top-level dispatcher path the CLI uses (host prep +
+    device kernel + host transfer), f32 fast mode."""
+    from surfgen import make_surface, make_eos_consistent
+    from is3d2_tpu.config import Config
+    from is3d2_tpu.core.spectra import compute_spectra
+    from is3d2_tpu.core.spacetime import compute_dN_dX
+    from is3d2_tpu.core.polarization import compute_polarization
+    from is3d2_tpu.physics.deltaf import DeltafData
+
+    n_cells = int(os.environ.get("IS3D2_BENCH_ENGINE_CELLS", 4096))
+    chosen = np.arange(len(species_t))
+    surf = make_surface(n_cells, seed=9, shear_scale=0.02, bulk_scale=0.01)
+    surf_vah = make_eos_consistent(
+        make_surface(n_cells, seed=9, shear_scale=0.02, bulk_scale=0.01),
+        species_t, laguerre)
+    surf_vort = make_surface(n_cells, seed=9, vorticity=True)
+    out = {}
+
+    def spectra_engine(df_mode, s):
+        cfg = Config(operation=1, df_mode=df_mode, hrg_eos=3,
+                     include_shear_deltaf=1, include_bulk_deltaf=1,
+                     cell_block=512, fast=1, compute_dtype="f32")
+        df_data = DeltafData(tables, df_mode, include_baryon=False)
+        if df_mode == 4:
+            df_data.compute_jonah_coefficients(species_t, laguerre,
+                                               s.thermo_averages())
+        return lambda: float(np.asarray(compute_spectra(
+            s, species_t, chosen, grids, df_data, cfg, laguerre)).sum())
+
+    out["feqmod_s"] = _steady(spectra_engine(3, surf), "engine feqmod df3")
+    out["famod_s"] = _steady(spectra_engine(5, surf_vah), "engine famod df5")
+
+    cfg0 = Config(operation=0, df_mode=1, hrg_eos=3, include_shear_deltaf=1,
+                  include_bulk_deltaf=1, cell_block=512, fast=1,
+                  compute_dtype="f32")
+    df1 = DeltafData(tables, 1, include_baryon=False)
+
+    def dn_dx():
+        dX = compute_dN_dX(surf, species_t, chosen, grids, df1, cfg0,
+                           laguerre)
+        return float(np.asarray(dX.dN_taudtaudy).sum())
+
+    out["dN_dX_s"] = _steady(dn_dx, "engine dN/dX op0")
+
+    cfgp = Config(operation=1, mode=5, df_mode=1, hrg_eos=3, cell_block=512,
+                  fast=1, compute_dtype="f32")
+    lam = species_t.chosen_indices((3122,))  # the Lambda production case
+
+    def polar():
+        St, Sx, Sy, Sn, Snorm = compute_polarization(
+            surf_vort, species_t, lam, grids,
+            surf_vort.thermo_averages(), cfgp)
+        return float(np.asarray(Snorm).sum())
+
+    out["polarization_s"] = _steady(polar, "engine polarization mode5")
+    return out
+
+
 def main():
     import jax
     jax.config.update("jax_enable_x64", True)
@@ -141,7 +228,7 @@ def main():
     from surfgen import make_surface
     from is3d2_tpu.config import Config
     from is3d2_tpu.io.pdg import read_pdg
-    from is3d2_tpu.io.tables import MomentumGrids, load_table
+    from is3d2_tpu.io.tables import GaussLaguerre, MomentumGrids, load_table
     from is3d2_tpu.io.deltaf_tables import DeltafTables
     from is3d2_tpu.physics.deltaf import DeltafData
     from is3d2_tpu.core.cells import prepare_cells
@@ -202,22 +289,36 @@ def main():
     sampler_kept_per_s, sampler_drawn_per_s = measure_sampler(
         surf, species_t, chosen, df_data, cfg, ref)
 
-    baseline = measure_oracle_evals_per_sec(Path("/tmp/is3d2_bench"))
+    engines = measure_engines(species_t, grids, tables, ref,
+                              GaussLaguerre.from_file(os.path.join(
+                                  ref, "tables/gauss/gla_roots_weights.txt")))
 
-    # normalize against an IDEAL 48-thread scaling of the measured
-    # single-thread reference binary (the BASELINE.md bar is ">= 20x a
-    # 48-thread icpc run"; this host exposes 1 CPU core, so perfect
-    # 48-way scaling is granted to the baseline)
+    oracle_measured, oracle_floor = measure_oracle_evals_per_sec(
+        Path("/tmp/is3d2_bench"))
+    oracle_median = float(np.median(ORACLE_OBSERVED + [oracle_measured]))
+
+    # normalize against an IDEAL 48-thread scaling of the reference binary
+    # (the BASELINE.md bar is ">= 20x a 48-thread icpc run"; this host
+    # exposes 1 CPU core, so perfect 48-way scaling is granted to the
+    # baseline).  vs_baseline uses the FLOOR (the binary's fastest observed
+    # single-thread mode, the most conservative divisor); vs_baseline_median
+    # uses the median observed session rate so the claim bounds itself
+    # (VERDICT r2 item 9).
     result = {
         "metric": "CF cell*species*momentum evals/sec (full HRG Grad-14 "
                   "spectra, f32 fast path; vs_baseline = per-chip speedup "
-                  "over ideal 48-thread scaling of the measured "
-                  "single-thread reference binary)",
+                  "over ideal 48-thread scaling of the reference binary's "
+                  "fastest observed single-thread mode)",
         "value": rate,
         "unit": "evals/s",
-        "vs_baseline": rate / (48.0 * baseline),
+        "vs_baseline": rate / (48.0 * oracle_floor),
+        "vs_baseline_median": rate / (48.0 * oracle_median),
+        "oracle_singlethread_evals_per_s": {
+            "this_session": oracle_measured, "floor": oracle_floor,
+            "median_observed": oracle_median},
         "sampler_kept_hadrons_per_s": sampler_kept_per_s,
         "sampler_drawn_hadrons_per_s": sampler_drawn_per_s,
+        "engine_steady_seconds_4096cells": engines,
     }
     # the shared axon device's execution speed varies 2.5-35x between time
     # windows (identical cached programs; see NORTHSTAR.json); record the

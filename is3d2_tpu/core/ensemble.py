@@ -10,9 +10,11 @@ ICI within a slice) with the cell axis inside each shard:
 ``mesh=`` runs the batch under shard_map with out-specs sharded over
 "surfaces", so each device computes only its surface shard.
 
-Covers df modes 1-4 for spectra (vmapped feqmod prep runs per surface on
-the host, stacked on device) and the full MC sampler with per-surface
-RNG streams and per-surface test histograms.
+Covers all df modes 1-5 for spectra (per-surface feqmod/famod prep --
+splines, 3x3 inverses, VAH Newton state -- stacked on device) and the full
+MC sampler (including the famod sampler) with per-surface RNG streams and
+per-surface test histograms.  Overflowed surfaces are healed in place by a
+single-surface re-run at the exact grown capacity.
 """
 
 from __future__ import annotations
@@ -38,9 +40,12 @@ from .cells import CellArrays, prepare_cells
 from .feqmod import prepare_feqmod
 from .sampler import (prepare_sampler, _finalize_device,
                       _sample_hadrons_jit, _species_cdf)
+from .sampler_famod import prepare_sampler_famod
 from .sampler_hist import bin_histograms_device
 from .spectra import (MomentumGridDevice, SpeciesArrays,
                       df12_cell_coefficients, _spectra_df12_jit)
+from .spectra_famod import (prepare_famod, vah_from_surface,
+                            _spectra_famod_jit)
 from .spectra_feqmod import _spectra_feqmod_jit
 
 
@@ -81,11 +86,15 @@ def compute_spectra_ensemble(surfs, species_table: SpeciesTable, chosen_idx,
     "surfaces" mesh), the surface axis is sharded across devices; n_surfaces
     must be divisible by the device count.
     """
-    if cfg.df_mode == 5:
-        raise ValueError("ensemble spectra implement df 1-4 (famod surfaces "
-                         "carry per-surface VAH state; run them singly)")
     block = cell_block or cfg.cell_block
-    cells, per_surf = stack_surfaces(surfs, cfg, block)
+    if cfg.df_mode == 5:
+        # famod reads the shear tensor and bulk pressure unconditionally
+        # (pl/pt reconstruction, MomentumSpectra.cpp:1192-1204)
+        cells_cfg = dataclasses.replace(cfg, include_shear_deltaf=1,
+                                        include_bulk_deltaf=1)
+    else:
+        cells_cfg = cfg
+    cells, per_surf = stack_surfaces(surfs, cells_cfg, block)
     n_padded = cells.tau.shape[1]
     n_blocks = max(n_padded // min(block, n_padded), 1)
 
@@ -97,6 +106,15 @@ def compute_spectra_ensemble(surfs, species_table: SpeciesTable, chosen_idx,
                       for c in per_surf])
         kernel = lambda c, a: _spectra_df12_jit(c, a, species, grid, cfg,
                                                 n_blocks)
+    elif cfg.df_mode == 5:
+        # per-surface VAH state (Newton reconstruction or the surface's own
+        # (Lambda, aT, aL) columns), stacked like the feqmod prep -- the
+        # reference loops whole df-5 binaries (scripts/oversample.sh:1-15)
+        aux = _stack([prepare_famod(c, species_table, cfg,
+                                    vah_from_surface(s, c.n_padded))
+                      for s, c in zip(surfs, per_surf)])
+        kernel = lambda c, a: _spectra_famod_jit(c, a, species, grid, cfg,
+                                                 n_blocks)
     else:
         # per-surface feqmod prep on the host (splines, 3x3 inverses,
         # renormalization integrals), stacked on device
@@ -134,11 +152,19 @@ def prepare_sampler_ensemble(surfs, species_table: SpeciesTable, chosen_idx,
     setups = []
     species = None
     for s in surfs:
-        if cfg.fast:
-            compute_particle_densities(species_table, df_data, laguerre,
-                                       s.thermo_averages())
-        setup, species = prepare_sampler(s, species_table, chosen_idx,
-                                         df_data, cfg, laguerre, block=n_max)
+        if cfg.df_mode == 5:
+            # famod sampler prep: per-surface VAH state + anisotropic
+            # densities (ParticleSampler.cpp:1138-1513)
+            setup, species = prepare_sampler_famod(s, species_table,
+                                                   chosen_idx, cfg,
+                                                   block=n_max)
+        else:
+            if cfg.fast:
+                compute_particle_densities(species_table, df_data, laguerre,
+                                           s.thermo_averages())
+            setup, species = prepare_sampler(s, species_table, chosen_idx,
+                                             df_data, cfg, laguerre,
+                                             block=n_max)
         setups.append(setup)
     return _stack(setups), species
 
@@ -178,25 +204,51 @@ def sample_ensemble_histograms(surfs, species_table: SpeciesTable, chosen_idx,
     setups = dataclasses.replace(cast(setups), rates=rates64)
     species = cast(species)
 
-    def one(setup, key):
+    def one(setup, key, cap):
         cdf_flat, cdf_coarse, cell_rate = _species_cdf(setup.rates)
         out = _sample_hadrons_jit(setup, species, mcid, cdf_flat, cdf_coarse,
-                                  cell_rate, key, cfg, capacity,
+                                  cell_rate, key, cfg, cap,
                                   events_per_surface)
         out = _finalize_device(out, setup, cfg)
         hists = bin_histograms_device(out, S, cfg)
-        return hists, out["overflow"]
+        return hists, out["overflow"], out["total"]
 
+    batch = lambda s_l, k_l: jax.vmap(lambda s, k: one(s, k, capacity)
+                                      )(s_l, k_l)
     if mesh is None:
-        hists, overflow = jax.vmap(one)(setups, keys)
+        hists, overflow, totals = batch(setups, keys)
     else:
         axis = mesh.axis_names[0]
         specs = (jax.tree_util.tree_map(lambda _: P(axis), setups), P(axis))
 
         @partial(shard_map, mesh=mesh, in_specs=specs,
-                 out_specs=(P(axis), P(axis)), check_vma=False)
+                 out_specs=(P(axis), P(axis), P(axis)), check_vma=False)
         def run(setups_l, keys_l):
-            return jax.vmap(one)(setups_l, keys_l)
+            return batch(setups_l, keys_l)
 
-        hists, overflow = run(setups, keys)
-    return hists, np.asarray(overflow)
+        hists, overflow, totals = run(setups, keys)
+
+    overflow = np.asarray(overflow)
+    if overflow.any():
+        # heal overflowed surfaces by re-running them singly with the
+        # capacity grown to their exact Poisson total (known from the failed
+        # attempt: counts depend only on key and rates) -- the
+        # single-surface retry semantics of sample_particles
+        # (ParticleSampler.cpp:925-931 never loses hadrons either).
+        # Capacity is bucketed to limit distinct compile shapes.
+        totals = np.asarray(totals)
+        hists = jax.tree_util.tree_map(np.array, hists)  # writable copies
+        for i in np.flatnonzero(overflow):
+            total = int(totals[i])
+            cap = total + max(total // 64, 1024)
+            cap = 1 << (cap - 1).bit_length()
+            setup_i = jax.tree_util.tree_map(lambda a: a[i], setups)
+            h, ov, _ = one(setup_i, keys[i], cap)
+            if bool(ov):
+                raise RuntimeError(
+                    f"ensemble surface {i} still overflows at capacity "
+                    f"{cap} (total {total})")
+            for k in hists:
+                hists[k][i] = np.asarray(h[k])
+        overflow = np.zeros_like(overflow)
+    return hists, overflow

@@ -65,6 +65,98 @@ def test_ensemble_feqmod_matches_individual(reference_dir):
         np.testing.assert_allclose(batch[i], single, rtol=1e-12, atol=1e-300)
 
 
+def test_ensemble_famod_matches_individual(reference_dir):
+    """df 5 (PTMA famod) ensemble: stacked per-surface VAH state (the
+    reference can only loop whole df-5 binaries, scripts/oversample.sh:1-15)
+    matches each single-surface run."""
+    from surfgen import make_eos_consistent
+    from is3d2_tpu.io.tables import GaussLaguerre
+
+    species = read_pdg(3, reference_dir / "PDG")
+    grids = MomentumGrids.from_dir(reference_dir / "tables")
+    laguerre = GaussLaguerre.from_file(
+        reference_dir / "tables/gauss/gla_roots_weights.txt")
+    tables = DeltafTables.load(3, include_baryon=False,
+                               base_dir=reference_dir / "deltaf_coefficients/vh")
+    cfg = Config(df_mode=5, hrg_eos=3, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, cell_block=32)
+    df_data = DeltafData(tables, 5, include_baryon=False)
+    chosen = species.chosen_indices(PIKP)
+
+    surfs = [make_eos_consistent(
+        make_surface(24 + 8 * i, seed=500 + i, shear_scale=0.02,
+                     bulk_scale=0.01), species, laguerre)
+        for i in range(3)]
+    batch = compute_spectra_ensemble(surfs, species, chosen, grids, df_data,
+                                     cfg, laguerre)
+    for i, s in enumerate(surfs):
+        single = compute_spectra(s, species, chosen, grids, df_data, cfg,
+                                 laguerre)
+        np.testing.assert_allclose(batch[i], single, rtol=1e-12, atol=1e-300)
+
+
+def test_ensemble_famod_sampler(reference_dir):
+    """famod (df 5) sampler inside the ensemble campaign."""
+    from surfgen import make_eos_consistent
+    from is3d2_tpu.io.tables import GaussLaguerre
+    from is3d2_tpu.core.ensemble import sample_ensemble_histograms
+
+    species = read_pdg(3, reference_dir / "PDG")
+    laguerre = GaussLaguerre.from_file(
+        reference_dir / "tables/gauss/gla_roots_weights.txt")
+    tables = DeltafTables.load(3, include_baryon=False,
+                               base_dir=reference_dir / "deltaf_coefficients/vh")
+    cfg = Config(operation=2, df_mode=5, hrg_eos=3, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, fast=1, y_cut=5.0, cell_block=16)
+    df_data = DeltafData(tables, 5, include_baryon=False)
+    chosen = species.chosen_indices(PIKP)
+
+    surfs = [make_eos_consistent(
+        make_surface(16, seed=600 + i, shear_scale=0.02), species, laguerre)
+        for i in range(4)]
+    hists, overflow = sample_ensemble_histograms(
+        surfs, species, chosen, df_data, cfg, laguerre,
+        events_per_surface=40, capacity=16384, seed=11)
+    assert not overflow.any()
+    assert hists["dN_dy"].shape[0] == 4
+    totals = np.asarray(hists["dN_dy"]).sum(axis=(1, 2))
+    assert (totals > 0).all()
+
+
+def test_ensemble_overflow_healed(reference_dir):
+    """A forced-tiny capacity overflows every surface; the ensemble heals
+    them by single-surface re-runs (no caller intervention) and the healed
+    yields match an amply-sized run's Poisson totals statistically."""
+    from is3d2_tpu.io.tables import GaussLaguerre
+    from is3d2_tpu.core.ensemble import sample_ensemble_histograms
+
+    species = read_pdg(3, reference_dir / "PDG")
+    laguerre = GaussLaguerre.from_file(
+        reference_dir / "tables/gauss/gla_roots_weights.txt")
+    tables = DeltafTables.load(3, include_baryon=False,
+                               base_dir=reference_dir / "deltaf_coefficients/vh")
+    cfg = Config(operation=2, df_mode=1, hrg_eos=3, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, fast=1, y_cut=5.0, cell_block=16)
+    df_data = DeltafData(tables, 1, include_baryon=False)
+    chosen = species.chosen_indices(PIKP)
+
+    surfs = [make_surface(16, seed=700 + i, shear_scale=0.02)
+             for i in range(3)]
+    kw = dict(events_per_surface=50, seed=13)
+    hists, overflow = sample_ensemble_histograms(
+        surfs, species, chosen, df_data, cfg, laguerre, capacity=512, **kw)
+    assert not overflow.any()
+    big, overflow_big = sample_ensemble_histograms(
+        surfs, species, chosen, df_data, cfg, laguerre, capacity=65536, **kw)
+    assert not overflow_big.any()
+    # identical RNG keys -> identical Poisson totals; the rejection draws
+    # are lane-indexed so kinematics (and kept counts) agree statistically
+    n_heal = np.asarray(hists["dN_dy"]).sum(axis=(1, 2))
+    n_big = np.asarray(big["dN_dy"]).sum(axis=(1, 2))
+    assert (n_heal > 0).all()
+    np.testing.assert_allclose(n_heal, n_big, rtol=0.2)
+
+
 def test_ensemble_sharded_over_surfaces(reference_dir):
     """Stretch config 5: the surface axis sharded over the 8-device mesh."""
     import jax

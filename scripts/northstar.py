@@ -137,6 +137,8 @@ def merge_best(old: dict, new: dict) -> dict:
             if not (isinstance(cur, dict) and
                     cur.get("total", 1e30) <= v["total"]):
                 out[k] = v
+        elif k not in out:
+            out[k] = v          # carry metadata (description, notes, ...)
     return out
 
 

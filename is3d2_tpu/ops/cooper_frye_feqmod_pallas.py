@@ -85,8 +85,14 @@ def _kernel(cols_ref, p_ref, renorm_ref, red_ref, eta_ref, out_ref, *,
     b_m = row(_R_BARYON)
     sgn = row(_R_SIGN)
 
-    renorm = renorm_ref[:, 0:1]
-    red = red_ref[:, 0:1]
+    # renorm/red blocks are (C_t, 128) species-lane tiles (Mosaic requires
+    # lane-dim blocks of 128); select this program's species column with an
+    # iota compare + lane reduction
+    lane = jax.lax.rem(pl.program_id(1), jnp.int32(128))
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, renorm_ref.shape, 1)
+    lane_sel = (lane_ids == lane).astype(f32)
+    renorm = jnp.sum(renorm_ref[...] * lane_sel, axis=1, keepdims=True)
+    red = jnp.sum(red_ref[...] * lane_sel, axis=1, keepdims=True)
 
     invT = col(_I_INVT)
     alphaB = col(_I_ALPHAB)
@@ -97,9 +103,12 @@ def _kernel(cols_ref, p_ref, renorm_ref, red_ref, eta_ref, out_ref, *,
         w_e = eta_ref[1, e]
 
         # ---------------- modified branch ----------------
+        # cosh/sinh via exp: Mosaic has no cosh/sinh lowering on TPU
         sm = col(_I_ETA_SCALE) * eta_e
-        ch = jnp.cosh(sm)
-        sh = jnp.sinh(sm)
+        ex = jnp.exp(sm)
+        exi = 1.0 / ex
+        ch = 0.5 * (ex + exi)
+        sh = 0.5 * (ex - exi)
         a1 = -(col(_I_XT) * ch + col(_I_XNT) * sh)
         c1 = -(col(_I_ZT) * ch + col(_I_ZNT) * sh)
 
@@ -139,8 +148,8 @@ def _kernel(cols_ref, p_ref, renorm_ref, red_ref, eta_ref, out_ref, *,
         value_mod = pdd_m * f_mod
 
         # ---------------- breakdown branch ----------------
-        chb = jnp.cosh(eta_e)
-        shb = jnp.sinh(eta_e)
+        chb = eta_ref[2, e]          # cosh(eta), precomputed on host
+        shb = eta_ref[3, e]          # sinh(eta)
         E = ((chb * col(_I_UT) + shb * col(_I_TUN)) * P0
              - col(_I_UX) * P1 - col(_I_UY) * P2)
         if kind == "famod":
@@ -190,7 +199,10 @@ def _kernel(cols_ref, p_ref, renorm_ref, red_ref, eta_ref, out_ref, *,
         # cell reduction on the VPU with the mask*renorm_finite column
         return acc + jnp.sum(red * value, axis=0, keepdims=True)
 
-    acc = jax.lax.fori_loop(0, n_eta, eta_body, jnp.zeros((1, M_t), f32))
+    # i32 bounds: Python-int bounds trace an i64 loop counter under
+    # jax_enable_x64, which Mosaic cannot legalize on TPU
+    acc = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_eta), eta_body,
+                            jnp.zeros((1, M_t), f32))
 
     i_c = pl.program_id(2)
     r = jax.lax.rem(i_c, jnp.int32(8))
@@ -279,17 +291,25 @@ def pack_feqmod_pallas(data: dict, species, grid, c_tile: int,
     rows += [jnp.zeros((S, M_pad), f32)] * (16 - len(rows))
     P = jnp.stack(rows, axis=1)                            # (S, 16, M_pad)
 
+    # pad the species axis to 128 lanes: Mosaic requires lane-dim blocks of
+    # 128 (or the full axis), so the kernel fetches a (c_tile, 128) tile
+    # and iota-selects its species column
+    S_pad = _round_up(S, 128)
     renorm = jnp.pad(jnp.asarray(data["renorm"], f32),
-                     ((0, C_pad - C), (0, 0)))
+                     ((0, C_pad - C), (0, S_pad - S)))
     red = jnp.pad(jnp.asarray(data["mask"], f32)[:, None]
                   * jnp.asarray(data["renorm_finite"], f32),
-                  ((0, C_pad - C), (0, 0)))
+                  ((0, C_pad - C), (0, S_pad - S)))
 
     Ne = grid.eta.shape[0]
     Ne_pad = _round_up(max(Ne, 1), 128)
     eta_pack = jnp.zeros((8, Ne_pad), f32)
     eta_pack = eta_pack.at[0, :Ne].set(grid.eta.astype(f32))
     eta_pack = eta_pack.at[1, :Ne].set(grid.eta_weight.astype(f32))
+    # rows 2/3: cosh/sinh of the quadrature points, precomputed because
+    # Mosaic has no cosh/sinh lowering in-kernel
+    eta_pack = eta_pack.at[2, :Ne].set(jnp.cosh(grid.eta).astype(f32))
+    eta_pack = eta_pack.at[3, :Ne].set(jnp.sinh(grid.eta).astype(f32))
     return cols, P, renorm, red, eta_pack, M, Ne
 
 
@@ -305,26 +325,30 @@ def cooper_frye_feqmod_pallas(cols, P, renorm, red, eta_pack, cfg: Config,
     n_c = C // c_tile
     n_m = M_pad // m_tile
 
-    out = pl.pallas_call(
-        partial(_kernel, cfg=cfg, kind=kind, n_eta=n_eta),
-        out_shape=jax.ShapeDtypeStruct((S, 8, M_pad), jnp.float32),
-        grid=(n_m, S, n_c),
-        in_specs=[
-            pl.BlockSpec((c_tile, 64), lambda i, s, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 16, m_tile), lambda i, s, j: (s, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_tile, 1), lambda i, s, j: (j, s),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_tile, 1), lambda i, s, j: (j, s),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, eta_pack.shape[1]), lambda i, s, j: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 8, m_tile), lambda i, s, j: (s, 0, i),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(cols, P, renorm, red, eta_pack)
+    # trace with x64 off: under jax_enable_x64 the grid/index-map scalar
+    # prologue carries i64 values, which Mosaic cannot legalize on TPU
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            partial(_kernel, cfg=cfg, kind=kind, n_eta=n_eta),
+            out_shape=jax.ShapeDtypeStruct((S, 8, M_pad), jnp.float32),
+            grid=(n_m, S, n_c),
+            in_specs=[
+                pl.BlockSpec((c_tile, 64), lambda i, s, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 16, m_tile), lambda i, s, j: (s, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((c_tile, 128), lambda i, s, j: (j, s // 128),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((c_tile, 128), lambda i, s, j: (j, s // 128),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, eta_pack.shape[1]), lambda i, s, j: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 8, m_tile),
+                                   lambda i, s, j: (s, 0, i),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(cols, P, renorm, red, eta_pack)
 
     return jnp.sum(out.astype(jnp.float64), axis=1)         # (S, M_pad)
 

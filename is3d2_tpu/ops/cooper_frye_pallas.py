@@ -89,14 +89,18 @@ def _kernel(q_ref, cols_ref, mom_ref, eta_ref, out_ref, *, cfg: Config,
             zeros_row, zeros_row,
         ], axis=0)                                        # (16, M_t)
 
-        E = jnp.dot(Q_E, P16, preferred_element_type=f32)   # (C_t, M_t)
-        pdd = jnp.dot(Q_d, P16, preferred_element_type=f32)
+        E = jnp.dot(Q_E, P16, preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST)   # (C_t, M_t)
+        pdd = jnp.dot(Q_d, P16, preferred_element_type=f32,
+                      precision=jax.lax.Precision.HIGHEST)
         if cfg.include_shear_deltaf:
-            pim = jnp.dot(Q_pi, P16, preferred_element_type=f32)
+            pim = jnp.dot(Q_pi, P16, preferred_element_type=f32,
+                          precision=jax.lax.Precision.HIGHEST)
         else:
             pim = 0.0
         if cfg.include_baryon and cfg.include_baryondiff_deltaf:
-            Vp = jnp.dot(Q_V, P16, preferred_element_type=f32)
+            Vp = jnp.dot(Q_V, P16, preferred_element_type=f32,
+                         precision=jax.lax.Precision.HIGHEST)
         else:
             Vp = 0.0
 
@@ -126,10 +130,14 @@ def _kernel(q_ref, cols_ref, mom_ref, eta_ref, out_ref, *, cfg: Config,
         # transpose, which Mosaic does not support)
         ones_row = jnp.ones((1, C_t), f32)
         partial = jnp.dot(ones_row, value,
-                          preferred_element_type=f32)      # (1, M_t)
+                          preferred_element_type=f32,
+                          precision=jax.lax.Precision.HIGHEST)  # (1, M_t)
         return acc + w_e * partial
 
-    acc = jax.lax.fori_loop(0, n_eta, eta_body, jnp.zeros((1, M_t), f32))
+    # i32 bounds: Python-int bounds trace an i64 loop counter under
+    # jax_enable_x64, which Mosaic cannot legalize on TPU
+    acc = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_eta), eta_body,
+                            jnp.zeros((1, M_t), f32))
 
     i_c = pl.program_id(1)
     row = jax.lax.rem(i_c, jnp.int32(8))
@@ -163,7 +171,11 @@ def cooper_frye_pallas(q, cols, mom, eta_pack, cfg: Config,
     if n_eta is None:
         n_eta = int(eta_pack.shape[1])
 
-    out = pl.pallas_call(
+    # trace with x64 off: under jax_enable_x64 the grid/index-map scalar
+    # prologue carries i64 values, which Mosaic cannot legalize on TPU
+    # (everything in the kernel is f32/i32 regardless)
+    with jax.enable_x64(False):
+      out = pl.pallas_call(
         partial(_kernel, cfg=cfg, n_eta=n_eta),
         out_shape=jax.ShapeDtypeStruct((8, M), jnp.float32),
         grid=(n_m, n_c),
@@ -182,6 +194,6 @@ def cooper_frye_pallas(q, cols, mom, eta_pack, cfg: Config,
         out_specs=pl.BlockSpec((8, m_tile), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(q, cols, mom, eta_pack)
+      )(q, cols, mom, eta_pack)
 
     return jnp.sum(out.astype(jnp.float64), axis=0)

@@ -15,7 +15,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# IS3D2_TPU_TESTS=1 keeps the real TPU backend so tests/test_pallas_tpu.py
+# can compile Mosaic kernels on silicon; everything else runs on the
+# virtual CPU mesh
+if not os.environ.get("IS3D2_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 from pathlib import Path  # noqa: E402

@@ -354,7 +354,12 @@ def compute_spectra(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
         fq = prepare_feqmod(cells, species, df_data, cfg, laguerre)
         if report is not None:
             report.record_breakdown(fq.breaks_down, cells.tau, cells.mask)
-        if cfg.compute_dtype == "f32":
+        if cfg.use_pallas and cfg.dimension == 2:
+            # fused Pallas kernel (f32 compute, f64 accumulation)
+            from ..ops.cooper_frye_feqmod_pallas import (
+                compute_spectra_feqmod_pallas)
+            out = compute_spectra_feqmod_pallas(cells, fq, species, grid, cfg)
+        elif cfg.compute_dtype == "f32":
             # quadratic-form FMA kernel (f32 compute, f64 accumulation)
             from .spectra_feqmod_fast import compute_spectra_feqmod_fast
             out = compute_spectra_feqmod_fast(cells, fq, species, grid, cfg,
@@ -369,7 +374,11 @@ def compute_spectra(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
             report.record_breakdown(fm.breaks_down, cells.tau, cells.mask,
                                     pl_negative=fm.pl_negative,
                                     recon_failed=fm.recon_failed)
-        if cfg.compute_dtype == "f32":
+        if cfg.use_pallas and cfg.dimension == 2:
+            from ..ops.cooper_frye_feqmod_pallas import (
+                compute_spectra_feqmod_pallas)
+            out = compute_spectra_feqmod_pallas(cells, fm, species, grid, cfg)
+        elif cfg.compute_dtype == "f32":
             from .spectra_feqmod_fast import compute_spectra_feqmod_fast
             out = compute_spectra_feqmod_fast(cells, fm, species, grid, cfg,
                                               n_cell_blocks=n_blocks)

@@ -23,9 +23,10 @@ shipped (its feqmod kernel launch is commented out, emissionfunction.cu:
   chains stay short exactly as in the XLA fast path.
 
 Validated in interpret mode against the f64 golden engines
-(tests/test_pallas_kernel.py); Mosaic kernels hang in this container's
-remote-compile tunnel, so the XLA fast path remains the production path
-here (see CLAUDE.md).
+(tests/test_pallas_kernel.py) AND on real TPU v5e silicon against the XLA
+fast path (tests/test_pallas_tpu.py, <=8e-6).  The XLA fast path remains
+the production default; `use_pallas = 1` in the parameter file routes
+spectra through this kernel.
 """
 
 from __future__ import annotations
@@ -369,6 +370,9 @@ def compute_spectra_feqmod_pallas(cells, fq_or_fm, species, grid,
         raise ValueError("pallas feqmod kernel implements the 2+1d geometry")
     if cfg.df_mode not in (3, 4, 5):
         raise ValueError("pallas feqmod kernel implements df modes 3/4/5")
+    # Mosaic compiles only for TPU; on the CPU backend (tests, dryrun)
+    # fall back to interpret mode so use_pallas works everywhere
+    interpret = interpret or jax.default_backend() == "cpu"
     kind = "famod" if cfg.df_mode == 5 else "feqmod"
     S = species.mass.shape[0]
     if kind == "famod":

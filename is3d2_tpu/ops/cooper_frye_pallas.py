@@ -20,6 +20,11 @@ Replaces the CUDA thread/block tree-reduction kernels of the reference
 
 P16 row layout: [m1, px, py, m4, m1m1, pxpx, pypy, m4m4, m1px, m1py, m1m4,
 pxpy, pxm4, pym4, 0, 0] with m1 = mT cosh(y-eta), m4 = mT sinh(y-eta).
+
+Hardware-validated on real TPU v5e (tests/test_pallas_tpu.py): 3.5e10
+evals/s at the production bench shape vs 4.0e10 for the XLA fast path
+(the exact-f32 MXU passes cost 6x; XLA wins by fusing the contractions
+as VPU FMA chains).  `use_pallas = 1` routes production spectra here.
 """
 
 from __future__ import annotations

@@ -12,6 +12,7 @@ from the validated CellArrays / coefficient columns / momentum grid:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -46,7 +47,11 @@ def pack_inputs(cells: CellArrays, coeffs: dict, species: SpeciesArrays,
         return jnp.stack(cols_list, axis=1)
 
     mask = pad_c(c.mask)
-    Q_E = stack16([pad_c(c.ut), pad_c(-c.ux), pad_c(-c.uy), pad_c(-tau * c.un)])
+    # pad ut with a large value: tile-padding cells (C_pad > C) have E = 0
+    # otherwise, and 1/(exp(0) - 1) = inf for bosons turns the masked
+    # pdd = 0 product into NaN; E ~ 50 mT drives feq to 0 instead
+    Q_E = stack16([pad_c(c.ut, 50.0), pad_c(-c.ux), pad_c(-c.uy),
+                   pad_c(-tau * c.un)])
     Q_d = stack16([pad_c(c.dat) * mask, pad_c(c.dax) * mask,
                    pad_c(c.day) * mask, pad_c(c.dan / tau) * mask])
     Q_pi = jnp.concatenate([
@@ -112,6 +117,9 @@ def compute_spectra_pallas(cells: CellArrays, coeffs: dict,
         raise ValueError("pallas kernel implements the 2+1d benchmark geometry")
     if cfg.df_mode not in (1, 2):
         raise ValueError("pallas kernel implements df modes 1/2")
+    # Mosaic compiles only for TPU; on the CPU backend (tests, dryrun)
+    # fall back to interpret mode so use_pallas works everywhere
+    interpret = interpret or jax.default_backend() == "cpu"
 
     q, cols, mom, eta_pack, M, Ne = pack_inputs(cells, coeffs, species, grid,
                                                 cfg, c_tile, m_tile)

@@ -99,3 +99,36 @@ def test_pallas_feqmod_kernel_matches_reference_path(reference_dir, df_mode):
     sig = np.abs(ref) > 1e-10 * scale
     err = (np.abs(out - ref) / np.maximum(np.abs(ref), 1e-300))[sig].max()
     assert err < 1e-4, f"pallas feqmod df{df_mode} err {err:.2e}"
+
+
+@pytest.mark.parametrize("df_mode", [1, 5])
+def test_use_pallas_config_dispatch(reference_dir, df_mode):
+    """`use_pallas = 1` routes compute_spectra through the Pallas kernels
+    (interpret mode on the CPU backend) and matches the f64 engine."""
+    import dataclasses
+    from surfgen import make_eos_consistent
+    from is3d2_tpu.io.tables import GaussLaguerre
+
+    species_t = read_pdg(3, reference_dir / "PDG")
+    grids = MomentumGrids.from_dir(reference_dir / "tables")
+    tables = DeltafTables.load(3, include_baryon=False,
+                               base_dir=reference_dir / "deltaf_coefficients/vh")
+    laguerre = GaussLaguerre.from_file(
+        reference_dir / "tables/gauss/gla_roots_weights.txt")
+    surf = make_surface(48, seed=31, shear_scale=0.03, bulk_scale=0.01)
+    cfg = Config(operation=1, df_mode=df_mode, hrg_eos=3,
+                 include_shear_deltaf=1, include_bulk_deltaf=1, cell_block=64)
+    if df_mode == 5:
+        surf = make_eos_consistent(surf, species_t, laguerre)
+    df_data = DeltafData(tables, df_mode, include_baryon=False)
+    chosen = species_t.chosen_indices(PIKP)
+
+    ref = compute_spectra(surf, species_t, chosen, grids, df_data, cfg,
+                          laguerre)
+    cfg_p = dataclasses.replace(cfg, use_pallas=True)
+    out = compute_spectra(surf, species_t, chosen, grids, df_data, cfg_p,
+                          laguerre)
+    scale = np.abs(ref).max()
+    sig = np.abs(ref) > 1e-10 * scale
+    err = (np.abs(out - ref) / np.maximum(np.abs(ref), 1e-300))[sig].max()
+    assert err < 1e-4, f"use_pallas df{df_mode} err {err:.2e}"

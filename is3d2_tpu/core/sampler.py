@@ -816,10 +816,13 @@ def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
     return {
         "keep": keep,
         "event": event,
-        # the (S,) mcid TABLE, not per-hadron: a full-width int gather costs
-        # ~80 ms/chunk and the per-hadron ids are only needed for the kept
-        # rows (to_particle_list maps sp_idx -> mcid on host)
+        # the (S,) mcid/mass TABLES, not per-hadron: a full-width int gather
+        # costs ~80 ms/chunk and the per-hadron ids are only needed for the
+        # kept rows (to_particle_list maps sp_idx -> mcid on host; the
+        # streaming collector derives mass = mass_tab[sp_idx] host-side to
+        # shrink the device->host transfer)
         "mcid": mcid,
+        "mass_tab": species.mass,
         "sp_idx": sp_idx,
         "cell_idx": cell_idx,
         "mass": mass,
@@ -910,7 +913,7 @@ def _finalize_device(out: dict, setup: SamplerSetup, cfg: Config,
         eta_p = eta_cell
 
     res = {k: v for k, v in out.items()
-           if k in _SUM_KEYS or k in ("overflow", "mcid")}
+           if k in _SUM_KEYS or k in ("overflow", "mcid", "mass_tab")}
     res.update(
         keep=keep, event=event, sp_idx=sp_idx, mass=mass,
         tau=tau_h, x=x_h, y=y_h, eta=eta_p,
@@ -945,7 +948,7 @@ def _concat_chunks(chunks: list[dict]) -> dict:
             out[k] = sum(ch[k] for ch in chunks)
         elif k == "overflow":
             out[k] = False
-        elif k == "mcid":  # the (S,) table, identical across chunks
+        elif k in ("mcid", "mass_tab"):  # (S,) tables, identical per chunk
             out[k] = chunks[0][k]
         elif k in ("ev0", "n_ev"):  # per-chunk event spans (host ints)
             continue
@@ -1168,21 +1171,32 @@ class ChunkCollector:
     transfer of chunk i overlaps the on-device compute of the chunks still
     queued (the post-hoc to_particle_list conversion serializes transfer
     after all compute).  ``rapidity`` is not transferred (the writers don't
-    use it)."""
+    use it), and neither are the derivable columns: mass = mass_tab[sp_idx]
+    (exact), t/z = tau cosh/sinh(eta) and E = sqrt(m^2 + p^2) (f32-rounding
+    equivalent to the device values) are reconstructed host-side -- 9
+    transferred hadron columns instead of 13, which matters both for the
+    device->host link and for HBM read traffic in the finalize."""
 
-    _FIELDS = ("event", "sp_idx", "mass", "tau", "x", "y", "eta",
-               "t", "z", "E", "px", "py", "pz")
+    _XFER = ("event", "sp_idx", "tau", "x", "y", "eta", "px", "py", "pz")
+    _FIELDS = _XFER + ("mass", "t", "z", "E")
 
     def __init__(self):
         self._parts = []
         self._mcid_table = None
 
     def __call__(self, ch: dict) -> None:
-        host = jax.device_get({f: ch[f] for f in self._FIELDS
-                               + ("keep", "mcid")})
+        host = jax.device_get({f: ch[f] for f in self._XFER
+                               + ("keep", "mcid", "mass_tab")})
         self._mcid_table = host["mcid"]
         keep = host["keep"]
-        self._parts.append({f: host[f][keep] for f in self._FIELDS})
+        part = {f: host[f][keep] for f in self._XFER}
+        part["mass"] = np.asarray(host["mass_tab"]).astype(
+            part["px"].dtype)[part["sp_idx"]]
+        part["t"] = part["tau"] * np.cosh(part["eta"])
+        part["z"] = part["tau"] * np.sinh(part["eta"])
+        part["E"] = np.sqrt(part["mass"] ** 2 + part["px"] ** 2
+                            + part["py"] ** 2 + part["pz"] ** 2)
+        self._parts.append(part)
 
     def particle_list(self) -> ParticleList:
         cat = {f: np.concatenate([p[f] for p in self._parts])

@@ -322,3 +322,63 @@ def sharded_spectra_feqmod_fast(cells: CellArrays, fq_or_fm,
               grid.eta, grid.eta_weight)
     out = PREFACTOR * species.degeneracy.astype(out.dtype)[:, None, None, None] * out
     return out[:S0]
+
+
+def sharded_polarization_fast(cells: CellArrays, species: SpeciesArrays,
+                              grid: MomentumGridDevice, T: float,
+                              cfg: Config, mesh: Mesh, block: int = 512,
+                              delta_eta: float = 1.0):
+    """Mode-5 spin-polarization accumulators sharded over "cells".
+
+    Wraps the f32 fast path (core/polarization_fast.py): each device
+    accumulates the five vorticity-weighted sums over its cell shard, then
+    psums over ICI -- the sharded analog of the reference's FO_chunk loop +
+    per-cell slab reduction (Polarization.cpp:30-263).  Returns the raw
+    (5, S, NpT, Nphi, Ny) f64 sums, replicated."""
+    from ..core.polarization_fast import (_cell_Q_polzn, _mom_polzn,
+                                          _polzn_fast_jit,
+                                          _polzn_fast_3d_jit)
+
+    f32 = jnp.float32
+    n_cell_shards = mesh.shape["cells"]
+    cells, _ = pad_cells_for_mesh(cells, {}, n_cell_shards, block)
+
+    per_cell = _cell_Q_polzn(cells, f32)
+    mom = _mom_polzn(species, grid, f32)
+    local_cells = cells.n_padded // n_cell_shards
+    n_blocks = max(local_cells // min(block, local_cells), 1)
+    invT = np.float32(1.0 / T)
+
+    S = species.mass.shape[0]
+    NpT = grid.pT.shape[0]
+    Nphi = grid.cos_phi.shape[0]
+    pc_spec = {k: P("cells") for k in per_cell}
+    mom_spec = tuple(P() for _ in mom)
+
+    if cfg.dimension == 2:
+        eta = grid.eta.astype(f32)
+        eta_w = grid.eta_weight * delta_eta
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(pc_spec, mom_spec, P(), P()),
+                 out_specs=P(), check_vma=False)
+        def run2(pc_l, mom_l, eta_l, eta_w_l):
+            acc = _polzn_fast_jit(pc_l, mom_l, eta_l, eta_w_l, invT,
+                                  n_blocks, 1)
+            return jax.lax.psum(acc, axis_name="cells")
+
+        acc = run2(per_cell, mom, eta, eta_w)
+        return acc.reshape(5, S, NpT, Nphi, 1)
+
+    y = grid.y.astype(f32)
+    eta_c = cells.eta.astype(f32)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(pc_spec, P("cells"), mom_spec, P()),
+             out_specs=P(), check_vma=False)
+    def run3(pc_l, eta_c_l, mom_l, y_l):
+        acc = _polzn_fast_3d_jit(pc_l, eta_c_l, mom_l, y_l, invT, n_blocks)
+        return jax.lax.psum(acc, axis_name="cells")
+
+    acc = run3(per_cell, eta_c, mom, y)
+    return acc.reshape(5, S, NpT, Nphi, grid.y.shape[0])

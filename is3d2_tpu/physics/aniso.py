@@ -206,6 +206,32 @@ def compute_J(X, F, Ea, PTa, PLa, mass, sign, degeneracy):
     return jnp.stack([row0, row1, row2], axis=-2)
 
 
+def _solve3x3(A, b):
+    """Batched 3x3 solve via the adjugate (Cramer).
+
+    Replaces jnp.linalg.solve: XLA's general LU expansion
+    (LuDecompositionExpander) both crashes the current TPU AOT compiler on
+    batched f64 inputs and is overkill for a guarded 3x3 Newton Jacobian --
+    the closed form is branch-free, fuses into the surrounding elementwise
+    ops, and matches GSL LU (AnisoVariables.cpp:473) to roundoff on these
+    well-conditioned systems."""
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a10, a11, a12 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    a20, a21, a22 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+    c00 = a11 * a22 - a12 * a21
+    c10 = a02 * a21 - a01 * a22
+    c20 = a01 * a12 - a02 * a11
+    det = a00 * c00 + a10 * c10 + a20 * c20
+    inv_det = 1.0 / det
+    x0 = (c00 * b0 + c10 * b1 + c20 * b2) * inv_det
+    x1 = ((a12 * a20 - a10 * a22) * b0 + (a00 * a22 - a02 * a20) * b1
+          + (a02 * a10 - a00 * a12) * b2) * inv_det
+    x2 = ((a10 * a21 - a11 * a20) * b0 + (a01 * a20 - a00 * a21) * b1
+          + (a00 * a11 - a01 * a10) * b2) * inv_det
+    return jnp.stack([x0, x1, x2], axis=-1)
+
+
 def _line_backtrack(X, dX, dX_abs, g0, Fargs):
     """Batched Numerical-Recipes line search (AnisoVariables.cpp:302-390).
 
@@ -302,7 +328,7 @@ def find_anisotropic_variables(E, pl, pt, lam0, aT0, aL0,
         # guard singular J on done lanes
         J_safe = jnp.where(done[:, None, None],
                            jnp.eye(3, dtype=J.dtype)[None, :, :], J)
-        dX = jnp.linalg.solve(J_safe, -F[..., None]).squeeze(-1)
+        dX = _solve3x3(J_safe, -F)
         dX_abs = jnp.sqrt(jnp.sum(dX * dX, axis=-1))
         rescale = jnp.where(dX_abs > stepmax, stepmax / dX_abs, 1.0)
         dX = dX * rescale[:, None]

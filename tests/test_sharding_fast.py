@@ -109,3 +109,35 @@ def test_sharded_feqmod_fast_matches_single(reference_dir, df_mode, mesh_shape):
     sig = np.abs(single) > 1e-10 * scale
     err = (np.abs(out[:S] - single) / np.maximum(np.abs(single), 1e-300))[sig].max()
     assert err < 1e-5, f"df{df_mode} sharded feqmod err {err:.2e}"
+
+
+@pytest.mark.parametrize("mesh_shape,dimension", [((8, 1), 2), ((4, 2), 2),
+                                                  ((8, 1), 3)])
+def test_sharded_polarization_matches_single(reference_dir, mesh_shape,
+                                             dimension):
+    """sharded_polarization_fast == the single-device f32 fast path."""
+    from is3d2_tpu.core.polarization_fast import compute_polarization_fast
+    from is3d2_tpu.parallel.sharding import (make_mesh,
+                                             sharded_polarization_fast)
+
+    species_t = read_pdg(3, reference_dir / "PDG")
+    grids = MomentumGrids.from_dir(reference_dir / "tables")
+    surf = make_surface(96, seed=17, vorticity=True)
+    cfg = Config(operation=1, mode=5, df_mode=1, hrg_eos=3, cell_block=32,
+                 dimension=dimension)
+    chosen = species_t.chosen_indices((3122,))
+    cells = prepare_cells(surf, cfg, block=32)
+    species = SpeciesArrays.from_table(species_t, chosen)
+    grid = MomentumGridDevice.from_grids(grids, cfg.dimension)
+    T, delta_eta = 0.15, 1.0
+
+    single = np.asarray(compute_polarization_fast(
+        cells, species, grid, T, cfg, n_blocks=cells.n_padded // 32,
+        delta_eta=delta_eta))
+
+    mesh = make_mesh(mesh_shape[0], mesh_shape[1])
+    out = np.asarray(sharded_polarization_fast(
+        cells, species, grid, T, cfg, mesh, block=16, delta_eta=delta_eta))
+
+    scale = np.abs(single).max()
+    np.testing.assert_allclose(out, single, rtol=2e-5, atol=1e-7 * scale)

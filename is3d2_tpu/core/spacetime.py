@@ -76,9 +76,13 @@ def _scatter(dN_cell, idx, n_bins, mask):
     ok = (idx >= 0) & (idx < n_bins) & (mask > 0.0)
     idx_safe = jnp.clip(idx, 0, n_bins - 1)
     w = jnp.where(ok, 1.0, 0.0)
-    # dN_cell: (c, S) -> (S, n_bins)
-    out = jnp.zeros((dN_cell.shape[1], n_bins))
-    return out.at[:, idx_safe].add((dN_cell * w[:, None]).T, unique_indices=False)
+    # dN_cell: (c, S) -> (S, n_bins); accumulate bins in f64 (the fast path
+    # hands f32 per-cell values; cross-cell sums keep the input's relative
+    # accuracy when accumulated at higher precision)
+    acc_dtype = jnp.float64 if jax.config.jax_enable_x64 else dN_cell.dtype
+    out = jnp.zeros((dN_cell.shape[1], n_bins), dtype=acc_dtype)
+    contrib = dN_cell.astype(acc_dtype) * w[:, None].astype(acc_dtype)
+    return out.at[:, idx_safe].add(contrib.T, unique_indices=False)
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_blocks", "kind"))

@@ -297,21 +297,28 @@ def _dNdy_cells_fast_jit(per_cell: dict, mom, w_m, eta, eta_w, cfg: Config,
             cosh_e, sinh_e, w_e = ew
             value = _value_at_eta(q, mom_j, cosh_e, sinh_e, cfg)
             v3 = value.reshape(blk, S_blk, M1)
-            part = jnp.einsum("csm,sm->cs", v3, wj)
-            return acc_e + (w_e * part).astype(jnp.float64), None
+            # fused VPU multiply+reduce, NOT an einsum: a DEFAULT-precision
+            # MXU dot rounds its f32 inputs to bf16 on TPU (~1e-3), and the
+            # unfused dot materializes the (blk, M) intermediate to HBM
+            part = jnp.sum(v3 * wj[None, :, :], axis=2)
+            return acc_e + w_e * part, None
 
         cosh = jnp.cosh(eta)
         sinh = -jnp.sinh(eta)
+        # eta accumulation in f32: <= ~100 nonnegative quadrature terms
+        # (error ~1e-7 relative); the cross-cell bin sums upcast to f64 in
+        # the scatter epilogue (_scatter_dN_jit)
         part_cs, _ = jax.lax.scan(
-            one_eta, jnp.zeros((blk, S_blk), jnp.float64),
+            one_eta, jnp.zeros((blk, S_blk), mom[0].dtype),
             (cosh.astype(mom[0].dtype), sinh.astype(mom[0].dtype),
-             eta_w.astype(jnp.float64)))
+             eta_w.astype(mom[0].dtype)))
         return jax.lax.dynamic_update_slice(
             acc, jax.lax.dynamic_slice(acc, (i * blk, j * S_blk),
                                        (blk, S_blk)) + part_cs,
             (i * blk, j * S_blk)), None
 
-    acc, _ = jax.lax.scan(body, jnp.zeros((C_total, S_total), jnp.float64),
+    acc, _ = jax.lax.scan(body,
+                          jnp.zeros((C_total, S_total), mom[0].dtype),
                           jnp.arange(n_blocks * n_m_blocks))
     return acc
 

@@ -20,7 +20,8 @@ from ..constants import two_pi2_hbarC3
 from ..io.pdg import SpeciesTable
 from ..physics import lrf
 from ..physics.aniso import (find_anisotropic_variables,
-                             compute_famod_coefficients)
+                             compute_famod_coefficients,
+                             compute_F, compute_J, _solve3x3)
 from .cells import CellArrays
 from ..utils import host_prep
 from .spectra import PREFACTOR, MomentumGridDevice, SpeciesArrays
@@ -93,15 +94,19 @@ def vah_from_surface(surf, n_padded: int):
 @partial(jax.jit, static_argnames=("n_blocks",))
 def _reconstruct_f64_jit(cells: CellArrays, mass_pdg, sign_pdg, deg_pdg,
                          n_blocks: int):
-    """f64 VAH Newton + famod coefficient integrals on device, cell-blocked.
+    """f32 VAH Newton + 2 f64 polish steps + f64 coefficients, cell-blocked.
 
-    The f32 fast path used to run the whole reconstruction in f32: the
-    solver's Lambda rounding is amplified ~exp(E/Lambda) by the spectra
-    (measured 2-3e-4 vs the f64 path, 300x the df 1-4 class).  The solve is
-    per-cell only (no momentum axis), so running it in f64 costs a small
-    fraction of the spectra; lax.map over cell blocks bounds the
-    (cells x 320 species x 16 quad) f64 working set that a single batch
-    would materialize (~4 GB at 1e5 cells)."""
+    The fully-f32 reconstruction left Lambda with solver noise that
+    exp(E/Lambda) amplified to 2-3e-4 in the f32 famod spectra; running the
+    WHOLE 30-iteration backtracking Newton in f64 fixed the accuracy but TPU
+    f64 is software-emulated -- ~90 (cells x 320 species x 16 quad) f64
+    tensor evals made the reconstruction dominate the spectra and the ~10
+    live 670 MB f64 loop intermediates at 16384-cell blocks faulted the
+    TPU worker at 1e5 cells.  Newton converges quadratically, so the cheap
+    fix is: solve in f32 (fast, MXU/VPU-native), then take 2 plain f64
+    Newton steps from that solution (err ~1e-4 -> ~1e-8 -> roundoff) -- 4
+    f64 tensor evals + 1 coefficient eval instead of ~90, matching the f64
+    reference path to ~1e-8.  Small blocks bound the f64 working set."""
     c = cells
     basis = lrf.milne_basis(c.tau, c.ux, c.uy, c.un)
     pi = lrf.boost_shear(basis, c.tau, c.pitt, c.pitx, c.pity, c.pitn,
@@ -109,18 +114,40 @@ def _reconstruct_f64_jit(cells: CellArrays, mass_pdg, sign_pdg, deg_pdg,
     pl = c.P + c.bulkPi + pi.zz
     pt = c.P + c.bulkPi - pi.zz / 2.0
 
+    f32 = jnp.float32
+    mass32, sign32, deg32 = (mass_pdg.astype(f32), sign_pdg.astype(f32),
+                             deg_pdg.astype(f32))
+
     def blocked(a):
         return a.astype(jnp.float64).reshape(n_blocks, -1)
 
     def solve(args):
         E_b, pl_b, pt_b, T_b = args
-        sol = find_anisotropic_variables(E_b, pl_b, pt_b, T_b,
-                                         jnp.ones_like(T_b),
-                                         jnp.ones_like(T_b),
-                                         mass_pdg, sign_pdg, deg_pdg)
-        bpp, bwp = compute_famod_coefficients(sol.lam, sol.aT, sol.aL,
+        T32 = T_b.astype(f32)
+        sol = find_anisotropic_variables(
+            E_b.astype(f32), pl_b.astype(f32), pt_b.astype(f32),
+            T32, jnp.ones_like(T32), jnp.ones_like(T32),
+            mass32, sign32, deg32)
+        X = jnp.stack([sol.lam, sol.aT, sol.aL],
+                      axis=-1).astype(jnp.float64)
+        ok = ~sol.failed
+        Fargs = (E_b, pt_b, pl_b, mass_pdg, sign_pdg, deg_pdg)
+        eye = jnp.eye(3, dtype=jnp.float64)[None, :, :]
+        for _ in range(2):
+            F = compute_F(X, *Fargs)
+            J = jnp.where(ok[:, None, None],
+                          compute_J(X, F, *Fargs), eye)
+            X_new = X + _solve3x3(J, -F)
+            good = ok & jnp.all(jnp.isfinite(X_new) & (X_new > 0.0),
+                                axis=-1)
+            X = jnp.where(good[:, None], X_new, X)
+        # failed lanes keep the equilibrium guess, as the reference does
+        lam = jnp.where(sol.failed, T_b, X[:, 0])
+        aT = jnp.where(sol.failed, 1.0, X[:, 1])
+        aL = jnp.where(sol.failed, 1.0, X[:, 2])
+        bpp, bwp = compute_famod_coefficients(lam, aT, aL,
                                               mass_pdg, sign_pdg, deg_pdg)
-        return sol.lam, sol.aT, sol.aL, sol.failed, bpp, bwp
+        return lam, aT, aL, sol.failed, bpp, bwp
 
     lam, aT, aL, failed, bpp, bwp = jax.lax.map(
         solve, (blocked(c.E), blocked(pl), blocked(pt), blocked(c.T)))
@@ -161,10 +188,11 @@ def prepare_famod(cells: CellArrays, species_table: SpeciesTable,
         with jax.default_device(jax.devices()[0]):
             sol = None
             if vah is None:
-                # smallest divisor of n_padded keeping blocks <= 16384
+                # smallest divisor of n_padded keeping blocks <= 8192
                 # cells (n_padded is a multiple of cell_block, so a small
-                # divisor always exists)
-                n_blocks = max(-(-cells.n_padded // 16384), 1)
+                # divisor always exists); bounds the (block x 320 species
+                # x 16 quad) f64 polish working set to ~2 GB
+                n_blocks = max(-(-cells.n_padded // 8192), 1)
                 while cells.n_padded % n_blocks:
                     n_blocks += 1
                 sol = _reconstruct_f64_jit(cells, mass_pdg, sign_pdg,

@@ -152,6 +152,32 @@ def main():
     base = Path(args.base)
     base.mkdir(parents=True, exist_ok=True)
     stages_on = {int(s) for s in args.stages.split(",")}
+    failures = []
+
+    def record(results, key, fn):
+        """Run one stage; a crash (TPU worker fault, timeout) loses only
+        that stage, and every completed stage is merged into --out
+        immediately so records survive later-stage failures."""
+        try:
+            results[key] = fn()
+        except Exception as e:
+            log(f"STAGE FAILED ({key}): {e}")
+            failures.append(f"{key}: {e}")
+        write_out(results, Path(args.out))
+
+    def write_out(results, out_path):
+        merged = dict(results)
+        if out_path.exists():
+            try:
+                merged = merge_best(json.loads(out_path.read_text()), results)
+            except Exception as e:
+                log(f"merge with existing {out_path} failed: {e}")
+        sp = merged.get("spectra", {}).get("compute")
+        sa = merged.get("sampler_histograms", {}).get("compute")
+        if sp is not None and sa is not None:
+            merged["northstar_compute_seconds_single_chip"] = round(sp + sa, 3)
+        out_path.write_text(json.dumps(merged, indent=2) + "\n")
+        return merged
 
     surface = build_surface(base / f"surface_mode6_{args.cells}.dat", args.cells)
 
@@ -167,25 +193,26 @@ def main():
     if 1 in stages_on:
         wd = make_workdir(base / "op1", surface, {**common, "operation": 1},
                           extra)
-        results["spectra"] = run_cli(wd, "stage 1: op-1 spectra (full SMASH HRG)")
+        record(results, "spectra",
+               lambda: run_cli(wd, "stage 1: op-1 spectra (full SMASH HRG)"))
 
     if 2 in stages_on:
         wd = make_workdir(base / "op2", surface,
                           {**common, "operation": 2, "test_sampler": 0}, extra)
-        results["sampler_particle_lists"] = run_cli(
-            wd, "stage 2: op-2 sampler -> particle lists (~1e7 hadrons)")
+        record(results, "sampler_particle_lists", lambda: run_cli(
+            wd, "stage 2: op-2 sampler -> particle lists (~1e7 hadrons)"))
 
     if 3 in stages_on:
         wd = make_workdir(base / "op3", surface,
                           {**common, "operation": 2, "test_sampler": 1}, extra)
-        results["sampler_histograms"] = run_cli(
-            wd, "stage 3: op-2 sampler -> binned histograms")
+        record(results, "sampler_histograms", lambda: run_cli(
+            wd, "stage 3: op-2 sampler -> binned histograms"))
 
     if 4 in stages_on:
         wd = make_workdir(base / "op0", surface, {**common, "operation": 0},
                           extra)
-        results["spacetime_dN_dX"] = run_cli(
-            wd, "stage 4: op-0 spacetime dN/dX (full SMASH HRG)")
+        record(results, "spacetime_dN_dX", lambda: run_cli(
+            wd, "stage 4: op-0 spacetime dN/dX (full SMASH HRG)"))
 
     if 5 in stages_on:
         # Lambda polarization needs a mode-5 (vorticity-column) surface;
@@ -199,8 +226,8 @@ def main():
         wd = make_workdir(base / "op5", pol_surface,
                           {**common, "mode": 5, "operation": 1}, extra,
                           chosen_mcids=(3122,))
-        results["polarization_lambda"] = run_cli(
-            wd, "stage 5: mode-5 Lambda spin polarization")
+        record(results, "polarization_lambda", lambda: run_cli(
+            wd, "stage 5: mode-5 Lambda spin polarization"))
 
     if 6 in stages_on:
         # famod (df 5, PTMA): the anisotropic path the reference's GPU
@@ -223,21 +250,14 @@ def main():
             write_mode6(sf, fa_surface)
         wd = make_workdir(base / "op6", fa_surface,
                           {**common, "operation": 1, "df_mode": 5}, extra)
-        results["spectra_famod"] = run_cli(
-            wd, "stage 6: op-1 famod (df 5 PTMA) spectra, full SMASH HRG")
+        record(results, "spectra_famod", lambda: run_cli(
+            wd, "stage 6: op-1 famod (df 5 PTMA) spectra, full SMASH HRG"))
 
-    out_path = Path(args.out)
-    if out_path.exists():
-        try:
-            results = merge_best(json.loads(out_path.read_text()), results)
-        except Exception as e:
-            log(f"merge with existing {out_path} failed: {e}")
-    sp = results.get("spectra", {}).get("compute")
-    sa = results.get("sampler_histograms", {}).get("compute")
-    if sp is not None and sa is not None:
-        results["northstar_compute_seconds_single_chip"] = sp + sa
-    out_path.write_text(json.dumps(results, indent=2) + "\n")
-    print(json.dumps(results, indent=2))
+    merged = write_out(results, Path(args.out))
+    print(json.dumps(merged, indent=2))
+    if failures:
+        log(f"{len(failures)} stage(s) failed: {failures}")
+        sys.exit(1)
 
 
 if __name__ == "__main__":

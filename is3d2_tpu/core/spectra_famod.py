@@ -103,8 +103,8 @@ def _reconstruct_f64_jit(cells: CellArrays, mass_pdg, sign_pdg, deg_pdg,
     tensor evals made the reconstruction dominate the spectra and the ~10
     live 670 MB f64 loop intermediates at 16384-cell blocks faulted the
     TPU worker at 1e5 cells.  Newton converges quadratically, so the cheap
-    fix is: solve in f32 (fast, MXU/VPU-native), then take 2 plain f64
-    Newton steps from that solution (err ~1e-4 -> ~1e-8 -> roundoff) -- 4
+    fix is: solve in f32 (fast, MXU/VPU-native), then take 2 chord-Newton
+    steps in f64 from that solution (err ~1e-4 -> ~1e-8 -> roundoff) -- 3
     f64 tensor evals + 1 coefficient eval instead of ~90, matching the f64
     reference path to ~1e-8.  Small blocks bound the f64 working set."""
     c = cells
@@ -133,14 +133,22 @@ def _reconstruct_f64_jit(cells: CellArrays, mass_pdg, sign_pdg, deg_pdg,
         ok = ~sol.failed
         Fargs = (E_b, pt_b, pl_b, mass_pdg, sign_pdg, deg_pdg)
         eye = jnp.eye(3, dtype=jnp.float64)[None, :, :]
-        for _ in range(2):
-            F = compute_F(X, *Fargs)
-            J = jnp.where(ok[:, None, None],
-                          compute_J(X, F, *Fargs), eye)
+        # chord variant: J evaluated ONCE at the f32 solution, reused for
+        # both steps (J drifts O(e0) over the polish, so the chord's
+        # contraction is Newton-quality here; measured 3e-8 from the
+        # 2x(F+J) polish at 1e5 cells while dropping the single most
+        # expensive f64 eval -- J costs ~2x F: a=3 quadrature + 6
+        # t-functions).  An all-f32 J was tried and rejected: ill-
+        # conditioned cells stalled at 2e-2 in aL.
+        F = compute_F(X, *Fargs)
+        J = jnp.where(ok[:, None, None], compute_J(X, F, *Fargs), eye)
+        for k in range(2):
             X_new = X + _solve3x3(J, -F)
             good = ok & jnp.all(jnp.isfinite(X_new) & (X_new > 0.0),
                                 axis=-1)
             X = jnp.where(good[:, None], X_new, X)
+            if k == 0:
+                F = compute_F(X, *Fargs)
         # failed lanes keep the equilibrium guess, as the reference does
         lam = jnp.where(sol.failed, T_b, X[:, 0])
         aT = jnp.where(sol.failed, 1.0, X[:, 1])

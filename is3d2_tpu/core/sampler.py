@@ -592,6 +592,16 @@ def _species_cdf(rates):
 _species_cdf_jit = jax.jit(_species_cdf)
 
 
+@jax.jit
+def _cast_f32_jit(tree):
+    """Cast every floating leaf of a pytree to f32 in ONE device program
+    (an eager per-leaf .astype dispatches one convert program per array --
+    ~30 round trips at campaign start, 15 s through the remote tunnel)."""
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32)
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a, tree)
+
+
 @partial(jax.jit, static_argnames=("cfg", "capacity"))
 def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
                         mcid: jnp.ndarray, cdf_flat, cdf_coarse, cell_rate,
@@ -989,7 +999,32 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
     mcid = jnp.asarray(species_table.mc_id[chosen_idx])
 
     y_max = cfg.y_cut if cfg.dimension == 2 else 0.5
-    mean_1ev = float(jnp.sum(setup.rates * (2.0 * y_max * setup.ds_max)[:, None]))
+
+    if seed is None:
+        seed = cfg.sampler_seed if cfg.sampler_seed >= 0 else np.random.SeedSequence().entropy
+    key = jax.random.PRNGKey(int(seed) & 0x7FFFFFFF)
+
+    # the whole per-hadron pipeline runs in f32: the sampled kinematics are
+    # statistical anyway, and emulated-f64 transcendentals (boost, rapidity
+    # reconstruction) dominate the wall clock on TPU otherwise.  The Poisson
+    # rates keep f64 (exact means for the yield draw).  The cast runs as ONE
+    # jitted program: an eager per-array tree_map dispatches ~30 separate
+    # convert programs through the device queue and cost 15 s of the 25 s
+    # campaign preamble at 1e5 cells (measured through the remote tunnel).
+    f32 = jnp.float32
+    rates64 = setup.rates
+    setup = dataclasses.replace(_cast_f32_jit(setup), rates=rates64)
+    species = _cast_f32_jit(species)
+
+    # per-cell species CDF: one campaign-level computation (see _species_cdf)
+    cdf_flat, cdf_coarse, cell_rate = _species_cdf_jit(setup.rates)
+
+    # campaign mean from the CDF's per-cell total rate: the same reduction
+    # off setup.rates directly is an emulated-f64 45M-lane pass (~5 s steady
+    # on v5e); this f32 form is ~1e-6 relative, plenty for chunk/capacity
+    # sizing (n_events itself comes from compute_total_yield's f64 path)
+    mean_1ev = float(jnp.sum(
+        cell_rate * (2.0 * y_max * setup.ds_max).astype(f32)))
     mean_total = mean_1ev * n_events
 
     # event chunking: per-hadron device buffers scale with the flat-hadron
@@ -1010,29 +1045,6 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
 
     if capacity is None:
         capacity = chunk_capacity(events_per_chunk)
-
-    if seed is None:
-        seed = cfg.sampler_seed if cfg.sampler_seed >= 0 else np.random.SeedSequence().entropy
-    key = jax.random.PRNGKey(int(seed) & 0x7FFFFFFF)
-
-    # the whole per-hadron pipeline runs in f32: the sampled kinematics are
-    # statistical anyway, and emulated-f64 transcendentals (boost, rapidity
-    # reconstruction) dominate the wall clock on TPU otherwise.  The Poisson
-    # rates keep f64 (exact means for the yield draw).
-    f32 = jnp.float32
-    rates64 = setup.rates
-
-    def cast(tree):
-        return jax.tree_util.tree_map(
-            lambda a: a.astype(f32)
-            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
-            else a, tree)
-
-    setup = dataclasses.replace(cast(setup), rates=rates64)
-    species = cast(species)
-
-    # per-cell species CDF: one campaign-level computation (see _species_cdf)
-    cdf_flat, cdf_coarse, cell_rate = _species_cdf_jit(setup.rates)
 
     retry_box = [0]
 

@@ -299,30 +299,37 @@ def compute_total_yield(surf, species_table: SpeciesTable, chosen_idx,
     Uses the cached per-species densities at the surface-averaged (T, muB),
     i.e. the reference's estimate_mean_particle_number."""
     cells = prepare_cells(surf, cfg, block=cfg.cell_block)
-    c = cells
-    basis = lrf.milne_basis(c.tau, c.ux, c.uy, c.un)
-    ds = lrf.boost_dsigma(basis, c.tau, c.ux, c.uy, c.un,
-                          c.dat, c.dax, c.day, c.dan)
-    Vdsigma = c.Vt * c.dat + c.Vx * c.dax + c.Vy * c.day + c.Vn * c.dan
 
     neq = jnp.asarray(species_table.equilibrium_density[chosen_idx])
     dnb = jnp.asarray(species_table.bulk_density[chosen_idx])
     dnd = jnp.asarray(species_table.diff_density[chosen_idx])
 
-    if cfg.df_mode in (1, 2, 3, 5):
-        bulkPi = c.bulkPi
-        per_cell = (ds.t[:, None] * (neq[None, :] + bulkPi[:, None] * dnb[None, :])
-                    - ds.space[:, None] * Vdsigma[:, None] * dnd[None, :])
-    else:  # PTB (ParticleSampler.cpp:91-104)
+    # one jitted program: eagerly this is ~10 dispatches plus an emulated-
+    # f64 (cells x species) pass -- seconds of preamble through the tunnel
+    z_eff = None
+    if cfg.df_mode == 4:  # PTB (ParticleSampler.cpp:91-104)
         species = SpeciesArrays.from_table(species_table, chosen_idx)
         fq = prepare_feqmod(cells, species, df_data, cfg, laguerre)
         z_eff = jnp.where(fq.breaks_down, 1.0 + fq.delta_z, fq.z)
+    return float(_total_yield_jit(cells, neq, dnb, dnd, z_eff, cfg))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _total_yield_jit(c: CellArrays, neq, dnb, dnd, z_eff, cfg: Config):
+    basis = lrf.milne_basis(c.tau, c.ux, c.uy, c.un)
+    ds = lrf.boost_dsigma(basis, c.tau, c.ux, c.uy, c.un,
+                          c.dat, c.dax, c.day, c.dan)
+    if cfg.df_mode in (1, 2, 3, 5):
+        Vdsigma = c.Vt * c.dat + c.Vx * c.dax + c.Vy * c.day + c.Vn * c.dan
+        per_cell = (ds.t[:, None] * (neq[None, :] + c.bulkPi[:, None] * dnb[None, :])
+                    - ds.space[:, None] * Vdsigma[:, None] * dnd[None, :])
+    else:  # PTB
         per_cell = ds.t[:, None] * z_eff[:, None] * neq[None, :]
 
     total = jnp.sum(per_cell * c.mask[:, None])
     if cfg.dimension == 2:
         total = total * 2.0 * cfg.y_cut
-    return float(total)
+    return total
 
 
 def number_of_events(Ntot: float, cfg: Config) -> int:

@@ -97,6 +97,15 @@ class Config:
     # also write the plain-CSV particle lists (the reference's main path
     # writes only OSCAR, EmissionFunction.cpp:1290; CSV doubles export time)
     write_csv: int = 0
+    # multi-chip mesh for the continuous engines (spectra, dN/dX,
+    # polarization): -1 = auto (shard over all local devices on a
+    # multi-device accelerator backend; the reference's OpenMP-threads
+    # default), 0 = off, 1 = force on (also shards a multi-device CPU
+    # host, as the tests and the 8-device dryrun do)
+    use_mesh: int = -1
+    # mesh shape: devices = (devices/mesh_species_shards) cell shards
+    # x mesh_species_shards species shards
+    mesh_species_shards: int = 1
 
     # ------------------------------------------------------------------
     _INT_FIELDS = {
@@ -107,7 +116,7 @@ class Config:
         "sampler_seed", "test_sampler", "pT_bins", "y_bins", "phip_bins",
         "eta_bins", "tau_bins", "r_bins", "group_particles",
         "do_resonance_decays", "lightest_particle", "cell_block",
-        "write_csv",
+        "write_csv", "use_mesh", "mesh_species_shards",
     }
 
     @classmethod

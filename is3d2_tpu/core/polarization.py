@@ -111,7 +111,14 @@ def compute_polarization(surf, species_table: SpeciesTable,
     species = SpeciesArrays.from_table(species_table, chosen_idx)
     grid = MomentumGridDevice.from_grids(grids, cfg.dimension)
     delta_eta = float(grids.eta[1] - grids.eta[0]) if len(grids.eta) > 1 else 1.0
-    if cfg.compute_dtype == "f32":
+    from ..parallel.sharding import auto_mesh
+    mesh = auto_mesh(cfg) if cfg.compute_dtype == "f32" else None
+    if mesh is not None:
+        from ..parallel.sharding import sharded_polarization_fast
+        acc = sharded_polarization_fast(cells, species, grid,
+                                        float(plasma.temperature), cfg, mesh,
+                                        block=block, delta_eta=delta_eta)
+    elif cfg.compute_dtype == "f32":
         from .polarization_fast import compute_polarization_fast
         acc = compute_polarization_fast(cells, species, grid,
                                         float(plasma.temperature), cfg,

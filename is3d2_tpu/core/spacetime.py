@@ -153,10 +153,16 @@ def compute_dN_dX(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
     species = SpeciesArrays.from_table(species_table, chosen_idx)
     grid = MomentumGridDevice.from_grids(grids, cfg.dimension)
 
+    from ..parallel.sharding import auto_mesh
+    mesh = auto_mesh(cfg)
+
     fast = cfg.compute_dtype == "f32" and cfg.dimension == 2
     if cfg.df_mode in (1, 2):
         aux = df12_dX_cell_coefficients(cells, df_data, cfg)
-        if fast:
+        if fast and mesh is not None:
+            from ..parallel.sharding import sharded_dN_dX_fast
+            acc = sharded_dN_dX_fast(cells, aux, species, grid, cfg, mesh, block=block)
+        elif fast:
             from .spectra_fast import compute_dN_dy_cells_fast
             S = species.mass.shape[0]
             n_sp = next(b for b in (8, 4, 2, 1) if S % b == 0)
@@ -164,17 +170,26 @@ def compute_dN_dX(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
                                                cfg, n_blocks,
                                                n_species_blocks=n_sp)
             acc = _scatter_dN_jit(dN_cell, cells, cfg)
+        elif mesh is not None:
+            from ..parallel.sharding import sharded_dN_dX
+            acc = sharded_dN_dX(cells, aux, species, grid, cfg, mesh, block=block)
         else:
             acc = _dN_dX_jit(cells, aux, species, grid, cfg, n_blocks, "df12")
     else:
         fq = prepare_feqmod(cells, species, df_data, cfg, laguerre)
         if report is not None:
             report.record_breakdown(fq.breaks_down, cells.tau, cells.mask)
-        if fast:
+        if fast and mesh is not None:
+            from ..parallel.sharding import sharded_dN_dX_fast
+            acc = sharded_dN_dX_fast(cells, fq, species, grid, cfg, mesh, block=block)
+        elif fast:
             from .spectra_feqmod_fast import compute_dN_dy_cells_feqmod_fast
             dN_cell = compute_dN_dy_cells_feqmod_fast(cells, fq, species,
                                                       grid, cfg, n_blocks)
             acc = _scatter_dN_jit(dN_cell, cells, cfg)
+        elif mesh is not None:
+            from ..parallel.sharding import sharded_dN_dX
+            acc = sharded_dN_dX(cells, fq, species, grid, cfg, mesh, block=block)
         else:
             acc = _dN_dX_jit(cells, fq, species, grid, cfg, n_blocks, "feqmod")
 

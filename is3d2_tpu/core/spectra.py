@@ -330,12 +330,30 @@ def compute_spectra(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
             if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating) else a,
             tree)
 
+    # multi-chip mesh (cfg.use_mesh): cells (+ species) shard over the
+    # local devices and reduce with a psum over ICI -- the TPU analog of
+    # the reference's always-on OpenMP cell loop (MomentumSpectra.cpp:95).
+    from ..parallel.sharding import auto_mesh
+    mesh = auto_mesh(cfg)
+
     if cfg.df_mode in (1, 2):
         coeffs = df12_cell_coefficients(cells, df_data, cfg)
         if cfg.use_pallas and cfg.dimension == 2:
             # fused Pallas kernel (f32 compute, f64 accumulation)
             from ..ops.spectra_fast_common import compute_spectra_pallas
             out = compute_spectra_pallas(cells, coeffs, species, grid, cfg)
+        elif mesh is not None and cfg.compute_dtype == "f32" \
+                and cfg.dimension == 2:
+            # block == the single-device cell block so the f32 per-block
+            # partial sums are bitwise the single-device ones (the psum
+            # then only reorders the f64 accumulation)
+            from ..parallel.sharding import sharded_spectra_fast
+            out = sharded_spectra_fast(cells, coeffs, species, grid, cfg,
+                                       mesh, block=block)
+        elif mesh is not None and cfg.compute_dtype == "f64":
+            from ..parallel.sharding import sharded_spectra
+            out = sharded_spectra(cells, coeffs, species, grid, cfg, mesh,
+                                  block=block)
         elif cfg.compute_dtype == "f32":
             # MXU-structured fast path (f32 compute, f64 accumulation)
             from .spectra_fast import compute_spectra_fast
@@ -359,6 +377,11 @@ def compute_spectra(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
             from ..ops.cooper_frye_feqmod_pallas import (
                 compute_spectra_feqmod_pallas)
             out = compute_spectra_feqmod_pallas(cells, fq, species, grid, cfg)
+        elif mesh is not None and cfg.compute_dtype == "f32" \
+                and cfg.dimension == 2:
+            from ..parallel.sharding import sharded_spectra_feqmod_fast
+            out = sharded_spectra_feqmod_fast(cells, fq, species, grid, cfg,
+                                              mesh, block=block)
         elif cfg.compute_dtype == "f32":
             # quadratic-form FMA kernel (f32 compute, f64 accumulation)
             from .spectra_feqmod_fast import compute_spectra_feqmod_fast
@@ -378,6 +401,11 @@ def compute_spectra(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
             from ..ops.cooper_frye_feqmod_pallas import (
                 compute_spectra_feqmod_pallas)
             out = compute_spectra_feqmod_pallas(cells, fm, species, grid, cfg)
+        elif mesh is not None and cfg.compute_dtype == "f32" \
+                and cfg.dimension == 2:
+            from ..parallel.sharding import sharded_spectra_feqmod_fast
+            out = sharded_spectra_feqmod_fast(cells, fm, species, grid, cfg,
+                                              mesh, block=block)
         elif cfg.compute_dtype == "f32":
             from .spectra_feqmod_fast import compute_spectra_feqmod_fast
             out = compute_spectra_feqmod_fast(cells, fm, species, grid, cfg,

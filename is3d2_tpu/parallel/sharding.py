@@ -382,3 +382,85 @@ def sharded_polarization_fast(cells: CellArrays, species: SpeciesArrays,
 
     acc = run3(per_cell, eta_c, mom, y)
     return acc.reshape(5, S, NpT, Nphi, grid.y.shape[0])
+
+
+def auto_mesh(cfg: Config) -> Mesh | None:
+    """The mesh the engine dispatchers use, from cfg.use_mesh.
+
+    -1 (default): shard over all local devices when the backend is a
+    multi-device accelerator -- multi-chip parallelism is on by default in
+    production, as the reference's OpenMP threading is (test_omp.sh).
+    0: off.  1: force on (also on a multi-device CPU host, as the tests and
+    the 8-device dryrun do).  None when a mesh is off or impossible."""
+    if cfg.use_mesh == 0:
+        return None
+    devices = jax.devices()
+    if len(devices) < 2:
+        return None
+    if cfg.use_mesh < 0 and devices[0].platform == "cpu":
+        return None
+    n_sp = max(1, int(cfg.mesh_species_shards))
+    if len(devices) % n_sp:
+        n_sp = 1
+    return make_mesh(len(devices) // n_sp, n_sp, devices)
+
+
+def sharded_dN_dX_fast(cells: CellArrays, aux, species: SpeciesArrays,
+                       grid, cfg: Config, mesh: Mesh, block: int = 512):
+    """Operation-0 spacetime distributions via the f32 fast integrands,
+    cells sharded over the WHOLE mesh (as sharded_dN_dX: the (tau, r,
+    phi_s) outputs are tiny, so both mesh axes act as cell shards).
+
+    Each device computes its shard's per-cell dN/dy with the fast kernel
+    (df 1/2: spectra_fast.compute_dN_dy_cells_fast; df 3/4:
+    spectra_feqmod_fast.compute_dN_dy_cells_feqmod_fast), scatters into its
+    local (tau, r, phi_s) accumulators, and the three accumulators psum
+    over the mesh -- the multi-chip analog of
+    SpacetimeDistribution.cpp:104-515's per-core slab + reduction."""
+    from ..core.spacetime import _scatter_dN_jit
+    from ..core.spectra_fast import compute_dN_dy_cells_fast
+    from ..core.spectra_feqmod_fast import compute_dN_dy_cells_feqmod_fast
+
+    kind = "feqmod" if cfg.df_mode in (3, 4) else "df12"
+    n_shards = mesh.devices.size
+
+    if kind == "df12":
+        cells, aux = pad_cells_for_mesh(cells, aux, n_shards, block)
+        aux_spec = {k: P(("cells", "species")) for k in aux}
+    else:
+        n = cells.n_padded
+        unit = n_shards * block
+        n_target = ((n + unit - 1) // unit) * unit
+        cells, _ = pad_cells_for_mesh(cells, {}, n_shards, block)
+        fills = {"T_mod": 0.15, "detA": 1.0, "detA_bulk_23": 1.0,
+                 "eta_scale": 1.0, "betaV": 1.0, "z": 1.0}
+        padded = {}
+        for f in dataclasses.fields(aux):
+            v = getattr(aux, f.name)
+            padded[f.name] = _pad_axis(v, n_target, axis=0,
+                                       fill=fills.get(f.name, 0.0))
+        aux = type(aux)(**padded)
+        aux_spec = jax.tree_util.tree_map(lambda _: P(("cells", "species")),
+                                          aux)
+
+    local_cells = cells.n_padded // n_shards
+    n_blocks = max(local_cells // min(block, local_cells), 1)
+
+    cell_spec = jax.tree_util.tree_map(lambda _: P(("cells", "species")), cells)
+    sp_spec = jax.tree_util.tree_map(lambda _: P(), species)
+    grid_spec = jax.tree_util.tree_map(lambda _: P(), grid)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(cell_spec, aux_spec, sp_spec, grid_spec),
+             out_specs=(P(), P(), P()), check_vma=False)
+    def run(cells_l, aux_l, species_l, grid_l):
+        if kind == "df12":
+            dN = compute_dN_dy_cells_fast(cells_l, aux_l, species_l, grid_l,
+                                          cfg, n_blocks)
+        else:
+            dN = compute_dN_dy_cells_feqmod_fast(cells_l, aux_l, species_l,
+                                                 grid_l, cfg, n_blocks)
+        acc = _scatter_dN_jit(dN, cells_l, cfg)
+        return tuple(jax.lax.psum(a, ("cells", "species")) for a in acc)
+
+    return run(cells, aux, species, grid)

@@ -1,0 +1,88 @@
+"""End-to-end multi-chip runs through the DRIVER on the virtual 8-device
+CPU mesh: cfg.use_mesh = 1 routes every continuous engine through the
+parallel/ sharded wrappers (the reference parallelizes the same loops with
+OpenMP, MomentumSpectra.cpp:95; here cells/species shard over a
+jax.sharding Mesh and reduce with psum).  Sharded output must match the
+single-device engine to f64-accumulation reordering (~1e-12)."""
+
+import sys
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+from surfgen import make_surface, write_mode1
+from oracle.run_oracle import setup_sandbox
+
+from is3d2_tpu.config import Config
+from is3d2_tpu.driver import IS3D
+
+
+def _workdir(tmp_path, params, vorticity=False, n=72):
+    surf = make_surface(n, seed=11, shear_scale=0.03, bulk_scale=0.015)
+    surf_file = tmp_path / "surface_gen.dat"
+    write_mode1(surf, surf_file, vorticity=vorticity)
+    sandbox = tmp_path / "work"
+    setup_sandbox(sandbox, params, surf_file, chosen_mcids=(111, 321, 2212))
+    return sandbox
+
+
+def _run(wd, cfg):
+    run = IS3D(wd, cfg=cfg)
+    run.run_particlization(write=False)
+    return run
+
+
+@pytest.mark.parametrize("df_mode", [1, 3])
+def test_driver_spectra_mesh_matches_single(reference_dir, tmp_path, df_mode):
+    wd = _workdir(tmp_path, {"operation": 1, "df_mode": df_mode,
+                             "hrg_eos": 3})
+    base = Config(operation=1, df_mode=df_mode, hrg_eos=3, cell_block=64,
+                  compute_dtype="f32", include_shear_deltaf=1,
+                  include_bulk_deltaf=1)
+    single = _run(wd, dataclasses.replace(base, use_mesh=0)).spectra
+    meshed = _run(wd, dataclasses.replace(base, use_mesh=1)).spectra
+    assert meshed.shape == single.shape
+    scale = np.abs(single).max()
+    assert np.max(np.abs(meshed - single)) <= 1e-10 * scale
+
+
+def test_driver_spectra_mesh_f64(reference_dir, tmp_path):
+    wd = _workdir(tmp_path, {"operation": 1, "df_mode": 1, "hrg_eos": 3})
+    base = Config(operation=1, df_mode=1, hrg_eos=3, cell_block=64,
+                  compute_dtype="f64", include_shear_deltaf=1)
+    single = _run(wd, dataclasses.replace(base, use_mesh=0)).spectra
+    meshed = _run(wd, dataclasses.replace(base, use_mesh=1,
+                                          mesh_species_shards=2)).spectra
+    scale = np.abs(single).max()
+    assert np.max(np.abs(meshed - single)) <= 1e-12 * scale
+
+
+@pytest.mark.parametrize("df_mode", [1, 3])
+def test_driver_dN_dX_mesh_matches_single(reference_dir, tmp_path, df_mode):
+    wd = _workdir(tmp_path, {"operation": 0, "df_mode": df_mode,
+                             "hrg_eos": 3})
+    base = Config(operation=0, df_mode=df_mode, hrg_eos=3, cell_block=64,
+                  compute_dtype="f32", include_shear_deltaf=1,
+                  include_bulk_deltaf=1)
+    single = _run(wd, dataclasses.replace(base, use_mesh=0)).dN_dX
+    meshed = _run(wd, dataclasses.replace(base, use_mesh=1)).dN_dX
+    for name in ("dN_taudtaudy", "dN_twopirdrdy", "dN_dphidy"):
+        a, b = getattr(single, name), getattr(meshed, name)
+        scale = max(np.abs(a).max(), 1e-300)
+        assert np.max(np.abs(a - b)) <= 1e-10 * scale, name
+
+
+def test_driver_polarization_mesh_matches_single(reference_dir, tmp_path):
+    wd = _workdir(tmp_path, {"operation": 1, "df_mode": 1, "hrg_eos": 3,
+                             "mode": 5}, vorticity=True)
+    base = Config(operation=1, df_mode=1, hrg_eos=3, mode=5, cell_block=64,
+                  compute_dtype="f32")
+    single = _run(wd, dataclasses.replace(base, use_mesh=0)).polarization
+    meshed = _run(wd, dataclasses.replace(base, use_mesh=1)).polarization
+    for a, b in zip(single, meshed):
+        scale = max(np.abs(np.asarray(a)).max(), 1e-300)
+        assert np.max(np.abs(np.asarray(a) - np.asarray(b))) <= 1e-10 * scale

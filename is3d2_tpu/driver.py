@@ -167,16 +167,36 @@ class IS3D:
                   f"sampling {n_events} events", flush=True)
 
             if cfg.test_sampler:
-                # stream chunks straight into the device-side binner: the
-                # campaign-wide hadron axis is never concatenated (a fresh
-                # concat shape would force a new compile every campaign)
-                binner = ChunkBinner(len(mcids), cfg)
-                sample_particles(self.surface, self.species, self.chosen_idx,
-                                 self.df_data, cfg, self.laguerre, n_events,
-                                 report=report, chunk_consumer=binner)
-                self._mark_compute(t_compute, "sampling")
-                ta = time.time()
-                self.histograms = binner.result(n_events)
+                from .parallel.sharding import auto_mesh
+                mesh = auto_mesh(cfg)
+                if mesh is not None:
+                    # multi-chip: shard the EVENT axis over the mesh (the
+                    # reference's process-farm oversampling), psum'd
+                    # histograms -- see parallel/sampler_shard.py
+                    from .parallel.sampler_shard import (
+                        sample_histograms_meshed)
+                    from .core.sampler_hist import SampledHistograms
+                    hists, _diags = sample_histograms_meshed(
+                        self.surface, self.species, self.chosen_idx,
+                        self.df_data, cfg, self.laguerre, n_events,
+                        mesh, report=report)
+                    self._mark_compute(t_compute, "sampling")
+                    ta = time.time()
+                    self.histograms = SampledHistograms(n_events=n_events,
+                                                        **hists)
+                else:
+                    # stream chunks straight into the device-side binner:
+                    # the campaign-wide hadron axis is never concatenated
+                    # (a fresh concat shape would force a new compile
+                    # every campaign)
+                    binner = ChunkBinner(len(mcids), cfg)
+                    sample_particles(self.surface, self.species,
+                                     self.chosen_idx, self.df_data, cfg,
+                                     self.laguerre, n_events,
+                                     report=report, chunk_consumer=binner)
+                    self._mark_compute(t_compute, "sampling")
+                    ta = time.time()
+                    self.histograms = binner.result(n_events)
                 self.stage_seconds["assemble"] = time.time() - ta
                 if write:
                     tw = time.time()

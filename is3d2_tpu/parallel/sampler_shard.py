@@ -92,3 +92,129 @@ def sharded_sampler_histograms(setup: SamplerSetup, species: SpeciesArrays,
             lambda h: jax.lax.psum(h, "events"), hists)
 
     return run(setup, species, mcid, key, dev_ids)
+
+
+def sample_histograms_meshed(surf, species_table, chosen_idx, df_data,
+                             cfg: Config, laguerre, n_events: int,
+                             mesh: Mesh, seed: int | None = None,
+                             report=None):
+    """Full op-2 test-sampler campaign with the EVENT axis sharded over the
+    mesh -- the CLI/driver entry for cfg.use_mesh (the multi-chip analog of
+    the reference's process farm, run_multithread_sampling_iS3D.py).
+
+    Events split across devices (remainders via per-device traced event
+    counts, so the campaign is exactly n_events); each device runs
+    independent fold_in streams; large campaigns run as rounds of one
+    device-chunk each.  Histograms and the efficiency/yield diagnostics
+    psum over the mesh.  Capacity overflow (a >6-sigma Poisson fluctuation)
+    is healed by retrying the round with the capacity grown, like the
+    single-chip path (sampler.py).  Returns the histogram dict plus
+    diagnostics scalars.
+    """
+    import dataclasses
+    import numpy as np
+    from ..core.sampler import prepare_sampler, _cast_f32_jit, _species_cdf_jit
+
+    if cfg.df_mode == 5:
+        from ..core.sampler_famod import prepare_sampler_famod
+        setup, species = prepare_sampler_famod(surf, species_table,
+                                               chosen_idx, cfg)
+    else:
+        setup, species = prepare_sampler(surf, species_table, chosen_idx,
+                                         df_data, cfg, laguerre)
+    mcid = jnp.asarray(species_table.mc_id[chosen_idx])
+    rates64 = setup.rates
+    setup = dataclasses.replace(_cast_f32_jit(setup), rates=rates64)
+    species = _cast_f32_jit(species)
+    cdf_flat, cdf_coarse, cell_rate = _species_cdf_jit(setup.rates)
+
+    y_max = cfg.y_cut if cfg.dimension == 2 else 0.5
+    f32 = jnp.float32
+    mean_1ev = float(jnp.sum(
+        cell_rate * (2.0 * y_max * setup.ds_max).astype(f32)))
+
+    n_dev = mesh.devices.size
+    # events per device per round: bound the per-device envelope to
+    # sampler_chunk_hadrons (the single-chip chunking rule, per device)
+    ev_per_dev_round = max(1, int(cfg.sampler_chunk_hadrons
+                                  / max(mean_1ev, 1.0)))
+    ev_per_round = ev_per_dev_round * n_dev
+    n_rounds = -(-n_events // ev_per_round)
+
+    if seed is None:
+        seed = cfg.sampler_seed if cfg.sampler_seed >= 0 \
+            else np.random.SeedSequence().entropy
+    key = jax.random.PRNGKey(int(seed) & 0x7FFFFFFF)
+
+    S = species.mass.shape[0]
+    setup_spec = jax.tree_util.tree_map(lambda _: P(), setup)
+    species_spec = jax.tree_util.tree_map(lambda _: P(), species)
+
+    def make_run(capacity):
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(setup_spec, species_spec, P(), P(), P(), P(),
+                           P(), P(("cells", "species"))),
+                 out_specs=P(), check_vma=False)
+        def run(setup_l, species_l, mcid_l, cdf_flat_l, cdf_coarse_l,
+                cell_rate_l, key_l, n_ev_dev):
+            dev = jax.lax.axis_index("cells") * mesh.shape["species"] \
+                + jax.lax.axis_index("species")
+            k = jax.random.fold_in(key_l, dev)
+            out = _sample_hadrons_jit(setup_l, species_l, mcid_l, cdf_flat_l,
+                                      cdf_coarse_l, cell_rate_l, k, cfg,
+                                      capacity, n_ev_dev[0])
+            out = _finalize_device(out, setup_l, cfg)
+            hists = bin_histograms_device(out, S, cfg)
+            hists["_overflow"] = out["overflow"].astype(jnp.int32)
+            for kk in ("drawn", "kept", "dropped", "mom_proposals",
+                       "mom_acceptances", "total"):
+                hists["_" + kk] = jnp.asarray(out[kk])
+            return jax.tree_util.tree_map(
+                lambda h: jax.lax.psum(h, ("cells", "species")), hists)
+        return run
+
+    def round_counts(r):
+        ev0 = r * ev_per_round
+        n_ev = min(ev_per_round, n_events - ev0)
+        base = n_ev // n_dev
+        counts = np.full(n_dev, base, np.int32)
+        counts[: n_ev - base * n_dev] += 1
+        return counts
+
+    max_ev_dev = max(int(round_counts(r).max()) for r in range(n_rounds))
+    m = mean_1ev * max_ev_dev
+    capacity = int(m * 1.2 + 6.0 * np.sqrt(max(m, 1.0)) + 1024)
+
+    acc = None
+    run = make_run(capacity)
+    for r in range(n_rounds):
+        counts = jnp.asarray(round_counts(r))
+        kr = jax.random.fold_in(key, r)
+        h = run(setup, species, mcid, cdf_flat, cdf_coarse, cell_rate,
+                kr, counts)
+        retries = 0
+        while int(h["_overflow"]) > 0:
+            retries += 1
+            if retries > 8:
+                raise RuntimeError("meshed sampler capacity overflow "
+                                   "persists after 8 retries")
+            capacity = int(capacity * 1.5) + 1024
+            print(f"meshed sampler round {r}: capacity overflow; retrying "
+                  f"with capacity {capacity}", flush=True)
+            run = make_run(capacity)
+            h = run(setup, species, mcid, cdf_flat, cdf_coarse, cell_rate,
+                    kr, counts)
+        h.pop("_overflow")
+        acc = h if acc is None else jax.tree_util.tree_map(jnp.add, acc, h)
+
+    diags = {k[1:]: int(acc.pop(k)) for k in list(acc)
+             if k.startswith("_")}
+    if report is not None:
+        report.n_cells = surf.n_cells
+        report.mom_proposals = diags["mom_proposals"]
+        report.mom_acceptances = diags["mom_acceptances"]
+        report.hadrons_drawn = diags["drawn"]
+        report.hadrons_kept = diags["kept"]
+        report.dropped_lanes = diags["dropped"]
+    hists = {k: np.asarray(v) for k, v in acc.items()}
+    return hists, diags

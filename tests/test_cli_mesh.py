@@ -86,3 +86,25 @@ def test_driver_polarization_mesh_matches_single(reference_dir, tmp_path):
     for a, b in zip(single, meshed):
         scale = max(np.abs(np.asarray(a)).max(), 1e-300)
         assert np.max(np.abs(np.asarray(a) - np.asarray(b))) <= 1e-10 * scale
+
+
+def test_driver_sampler_histograms_meshed(reference_dir, tmp_path):
+    """Event-sharded op-2 histograms through the driver: the total kept
+    yield must close against the smooth total-yield estimate (statistical,
+    independent RNG streams per device), and every histogram's total must
+    be consistent with the kept count."""
+    wd = _workdir(tmp_path, {"operation": 2, "df_mode": 1, "hrg_eos": 3})
+    base = Config(operation=2, df_mode=1, hrg_eos=3, test_sampler=1,
+                  min_num_hadrons=20000, max_num_samples=400, cell_block=64,
+                  compute_dtype="f32", fast=1, sampler_seed=3,
+                  include_shear_deltaf=1, include_bulk_deltaf=1)
+    meshed = _run(wd, dataclasses.replace(base, use_mesh=1))
+    single = _run(wd, dataclasses.replace(base, use_mesh=0))
+    hm, hs = meshed.histograms, single.histograms
+    assert hm.n_events == hs.n_events
+    km = float(np.sum(hm.dN_dy))
+    ks = float(np.sum(hs.dN_dy))
+    # same campaign size, independent streams: agree to ~5 sigma Poisson
+    assert abs(km - ks) <= 5.0 * np.sqrt(max(ks, 1.0)) + 5.0
+    # internal consistency: rapidity and pT histograms bin the same hadrons
+    assert np.isclose(np.sum(hm.dN_dy), np.sum(hm.dN_2pipTdpTdy), rtol=0.2)

@@ -115,11 +115,11 @@ def measure_sampler(surf, species_t, chosen, df_data, cfg, ref):
               + 6.0 * np.sqrt(mean_1ev * n_events) + 1024)
     key = jax.random.PRNGKey(3)
 
-    cdf_flat, cdf_coarse, cell_rate = S._species_cdf_jit(setup.rates)
+    cdf_flat, cdf_bucket, cell_rate = S._species_cdf_jit(setup.rates)
 
     def run_once():
         out = S._sample_hadrons_jit(setup, species, mcid, cdf_flat,
-                                    cdf_coarse, cell_rate, key, cfg2, cap,
+                                    cdf_bucket, cell_rate, key, cfg2, cap,
                                     n_events)
         out = S._finalize_chunk(out, setup, cfg2)
         # force the finalized columns (the kept-count transfer above only

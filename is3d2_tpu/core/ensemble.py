@@ -205,8 +205,8 @@ def sample_ensemble_histograms(surfs, species_table: SpeciesTable, chosen_idx,
     species = cast(species)
 
     def one(setup, key, cap):
-        cdf_flat, cdf_coarse, cell_rate = _species_cdf(setup.rates)
-        out = _sample_hadrons_jit(setup, species, mcid, cdf_flat, cdf_coarse,
+        cdf_flat, cdf_bucket, cell_rate = _species_cdf(setup.rates)
+        out = _sample_hadrons_jit(setup, species, mcid, cdf_flat, cdf_bucket,
                                   cell_rate, key, cfg, cap,
                                   events_per_surface)
         out = _finalize_device(out, setup, cfg)

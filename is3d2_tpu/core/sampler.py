@@ -564,36 +564,51 @@ def _sample_momentum(key, mass, sign, T, chem, count_mask=None,
     return E, px, py, pz, feq, accepted, n_prop, n_acc
 
 
-# coarse-level stride for the two-stage species bisection: the first
-# bisection stage runs on a 1/16-size table (cache-friendly gathers), the
-# second resolves the final 16-entry window in the full table
-_CDF_COARSE_STRIDE = 16
+# inverse-CDF bucket count for the species draw: a per-cell (NB+1)-entry
+# pointer table brackets the answer to a (typically 1-4 species) window, so
+# the per-hadron draw costs 2 pointer gathers + ~2 bisect gathers instead
+# of the 9 full bisection gathers (each full-width random gather is
+# ~120 ms/chunk at production scale).  MUST be a power of two: then
+# u * NB and cdf * NB are exact f32 scalings and the bucket bracket
+# provably contains "first s with cdf[s] > u" -- the bucketed draw returns
+# bitwise the same species as a full bisection.
+_CDF_BUCKETS = 2048
 
 
 def _species_cdf(rates):
-    """Per-cell species CDF (+ 1/16-stride coarse level + total rate) for
+    """Per-cell species CDF + inverse-CDF bucket pointers + total rate for
     the two-level yield draw.
 
-    Computed ONCE per campaign, in its OWN program: (1) the prefix sum runs
-    on the MXU as a triangular matmul -- a cumsum along the 444-wide minor
-    axis costs ~4 s at 1e5 cells (lane-padded log-shift passes), the matmul
-    ~1 ms; (2) the materialized program output has the canonical linear
-    layout, so the per-chunk bisection gathers read it at full HBM speed
-    (gathering from an in-program cumsum product measured 4-6x slower).
-    Adjacent equal-prefix species (zero rate) are never selected by the
-    bisection, and ~1-ulp f32 non-monotonicity between tiny neighbors only
-    reshuffles ~1e-7 of the probability mass."""
+    Computed ONCE per campaign, in its OWN program: (1) the prefix sums run
+    on the MXU as triangular matmuls -- a cumsum along the minor axis costs
+    ~4 s at 1e5 cells (lane-padded log-shift passes), the matmuls ~10 ms;
+    (2) the materialized program outputs have the canonical linear layout,
+    so the per-chunk gathers read them at full HBM speed (gathering from an
+    in-program cumsum product measured 4-6x slower).  The bucket table is
+    T[c,j] = #{s : floor(cdf[c,s] * NB) < j} = first s whose bucket is >= j
+    (cdf is non-decreasing per cell), built as a scatter-add histogram of
+    floor(cdf*NB) + an exclusive prefix sum (strict-upper triangular
+    matmul; counts <= S are exact in f32).  Adjacent equal-prefix species
+    (zero rate) are never selected by the bisection, and ~1-ulp f32
+    non-monotonicity between tiny neighbors only reshuffles ~1e-7 of the
+    probability mass."""
     r32 = rates.astype(jnp.float32)
-    S = r32.shape[1]
+    C, S = r32.shape
     cum = jax.lax.dot(r32, jnp.triu(jnp.ones((S, S), jnp.float32)),
                       precision=jax.lax.Precision.HIGHEST)
     cell_rate = cum[:, -1]
     cdf = cum / jnp.maximum(cell_rate, 1e-30)[:, None]
-    st = _CDF_COARSE_STRIDE
-    coarse = cdf[:, st - 1::st]                  # coarse[j] = cdf[(j+1)st-1]
-    if coarse.shape[1] * st < S:
-        coarse = jnp.concatenate([coarse, cdf[:, -1:]], axis=1)
-    return cdf.reshape(-1), coarse.reshape(-1), cell_rate
+
+    NB = _CDF_BUCKETS
+    b = jnp.floor(cdf * NB).astype(jnp.int32)         # (C, S) in [0, NB]
+    rows = jnp.arange(C, dtype=jnp.int32)[:, None] * (NB + 1)
+    hist = jnp.zeros(C * (NB + 1), jnp.float32).at[
+        (rows + jnp.clip(b, 0, NB)).reshape(-1)].add(1.0).reshape(C, NB + 1)
+    strict_upper = jnp.triu(jnp.ones((NB + 1, NB + 1), jnp.float32), k=1)
+    bucket = jax.lax.dot(hist, strict_upper,
+                         precision=jax.lax.Precision.HIGHEST)
+    return (cdf.reshape(-1), bucket.astype(jnp.int32).reshape(-1),
+            cell_rate)
 
 
 _species_cdf_jit = jax.jit(_species_cdf)
@@ -611,13 +626,13 @@ def _cast_f32_jit(tree):
 
 @partial(jax.jit, static_argnames=("cfg", "capacity"))
 def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
-                        mcid: jnp.ndarray, cdf_flat, cdf_coarse, cell_rate,
+                        mcid: jnp.ndarray, cdf_flat, cdf_bucket, cell_rate,
                         key, cfg: Config, capacity: int, n_events):
     """The full flat-hadron pipeline; returns raw per-hadron arrays.
 
     ``n_events`` is traced (NOT static) so an event-chunked campaign with a
     short remainder chunk reuses one compiled program.  ``cdf_flat`` /
-    ``cdf_coarse`` / ``cell_rate`` come from `_species_cdf` (one
+    ``cdf_bucket`` / ``cell_rate`` come from `_species_cdf` (one
     computation per campaign)."""
     c = setup.cells
     y_max = cfg.y_cut if cfg.dimension == 2 else 0.5
@@ -651,33 +666,35 @@ def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
         jnp.minimum(cum, capacity)].add(1, mode="drop")
     cell_idx = jnp.minimum(jnp.cumsum(marks), counts.shape[0] - 1)
 
-    # species: two-stage inverse-CDF bisection (first on the 1/16-stride
-    # coarse table -- ~16x smaller, cache-friendly gathers -- then the final
-    # 16-entry window in the full table; 5+4 gathers vs 9 full-table ones)
+    # species: bucketed inverse-CDF draw.  The pointer table brackets
+    # "first s with cdf[s] > u" to [T[k], T[k+1]], k = floor(u * NB)
+    # (exact: NB is a power of two, so the scalings are exact f32 and the
+    # bracket is provably correct -- see _species_cdf); a while_loop
+    # bisects the residual window, running exactly as many full-width
+    # gather rounds as the widest lane's window needs (typically 1-3 vs
+    # the 9 of a full bisection).  Bitwise the same species as a full
+    # bisection for the same u.
     u_sp = jax.random.uniform(k_sp, (capacity,), dtype=jnp.float32)
-    st = _CDF_COARSE_STRIDE
-    nc = (S_count + st - 1) // st
-    lo = jnp.zeros(capacity, jnp.int32)
-    if nc > 1:
-        base_c = cell_idx * nc
-        hi = jnp.full(capacity, nc - 1, jnp.int32)
-        for _ in range(max(1, int(np.ceil(np.log2(nc))))):
-            mid = (lo + hi) >> 1
-            cmid = jnp.take(cdf_coarse, base_c + mid, axis=0)
-            go_right = cmid <= u_sp
-            lo = jnp.where(go_right, mid + 1, lo)
-            hi = jnp.where(go_right, hi, mid)
-    block = jnp.minimum(lo, nc - 1)              # coarse block holding u
-
+    NB = _CDF_BUCKETS
+    kb = (u_sp * NB).astype(jnp.int32)           # in [0, NB-1]: u < 1
+    base_t = cell_idx * (NB + 1) + kb
+    lo = jnp.minimum(jnp.take(cdf_bucket, base_t, axis=0), S_count - 1)
+    hi = jnp.minimum(jnp.take(cdf_bucket, base_t + 1, axis=0), S_count - 1)
     base = cell_idx * S_count
-    lo = block * st                              # first index with cdf > u
-    hi = jnp.minimum(lo + (st - 1), S_count - 1)
-    for _ in range(max(1, int(np.ceil(np.log2(st))))):
-        mid = (lo + hi) >> 1
+
+    def _bisect_cond(state):
+        lo_c, hi_c = state
+        return jnp.any(lo_c < hi_c)
+
+    def _bisect_body(state):
+        lo_c, hi_c = state
+        mid = (lo_c + hi_c) >> 1
         cmid = jnp.take(cdf_flat, base + mid, axis=0)
         go_right = cmid <= u_sp
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
+        return (jnp.where(go_right, mid + 1, lo_c),
+                jnp.where(go_right, hi_c, mid))
+
+    lo, hi = jax.lax.while_loop(_bisect_cond, _bisect_body, (lo, hi))
     sp_idx = jnp.minimum(lo, S_count - 1)
 
     # per-hadron species properties: ONE packed gather, FIELD-MAJOR.  The
@@ -1024,7 +1041,7 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
     species = _cast_f32_jit(species)
 
     # per-cell species CDF: one campaign-level computation (see _species_cdf)
-    cdf_flat, cdf_coarse, cell_rate = _species_cdf_jit(setup.rates)
+    cdf_flat, cdf_bucket, cell_rate = _species_cdf_jit(setup.rates)
 
     # campaign mean from the CDF's per-cell total rate: the same reduction
     # off setup.rates directly is an emulated-f64 45M-lane pass (~5 s steady
@@ -1066,7 +1083,7 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
         cap = capacity
         while True:
             out = _sample_hadrons_jit(setup, species, mcid, cdf_flat,
-                                      cdf_coarse, cell_rate, k, cfg,
+                                      cdf_bucket, cell_rate, k, cfg,
                                       cap, n_ev)
             if not bool(out["overflow"]):
                 break
@@ -1119,7 +1136,7 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
             ev0, n_ev = chunk_span(c)
             k = jax.random.fold_in(key, c)
             out = _sample_hadrons_jit(setup, species, mcid, cdf_flat,
-                                      cdf_coarse, cell_rate, k, cfg,
+                                      cdf_bucket, cell_rate, k, cfg,
                                       capacity, n_ev)
             out["event"] = out["event"] + ev0
             fin = _finalize_jit(out, setup, cfg,

@@ -45,9 +45,9 @@ def sharded_sampler_counts(setup: SamplerSetup, species: SpeciesArrays,
              out_specs=(P(), P()), check_vma=False)
     def run(setup_l, species_l, mcid_l, key_l, dev_id):
         k = jax.random.fold_in(key_l, dev_id[0])
-        cdf_flat, cdf_coarse, cell_rate = _species_cdf(setup_l.rates)
+        cdf_flat, cdf_bucket, cell_rate = _species_cdf(setup_l.rates)
         out = _sample_hadrons_jit(setup_l, species_l, mcid_l, cdf_flat,
-                                  cdf_coarse, cell_rate, k, cfg,
+                                  cdf_bucket, cell_rate, k, cfg,
                                   capacity_per_device, events_per_device)
         out = _finalize_device(out, setup_l, cfg)
         keep = out["keep"]
@@ -82,9 +82,9 @@ def sharded_sampler_histograms(setup: SamplerSetup, species: SpeciesArrays,
              out_specs=P(), check_vma=False)
     def run(setup_l, species_l, mcid_l, key_l, dev_id):
         k = jax.random.fold_in(key_l, dev_id[0])
-        cdf_flat, cdf_coarse, cell_rate = _species_cdf(setup_l.rates)
+        cdf_flat, cdf_bucket, cell_rate = _species_cdf(setup_l.rates)
         out = _sample_hadrons_jit(setup_l, species_l, mcid_l, cdf_flat,
-                                  cdf_coarse, cell_rate, k, cfg,
+                                  cdf_bucket, cell_rate, k, cfg,
                                   capacity_per_device, events_per_device)
         out = _finalize_device(out, setup_l, cfg)
         hists = bin_histograms_device(out, S, cfg)
@@ -126,7 +126,7 @@ def sample_histograms_meshed(surf, species_table, chosen_idx, df_data,
     rates64 = setup.rates
     setup = dataclasses.replace(_cast_f32_jit(setup), rates=rates64)
     species = _cast_f32_jit(species)
-    cdf_flat, cdf_coarse, cell_rate = _species_cdf_jit(setup.rates)
+    cdf_flat, cdf_bucket, cell_rate = _species_cdf_jit(setup.rates)
 
     y_max = cfg.y_cut if cfg.dimension == 2 else 0.5
     f32 = jnp.float32
@@ -155,13 +155,13 @@ def sample_histograms_meshed(surf, species_table, chosen_idx, df_data,
                  in_specs=(setup_spec, species_spec, P(), P(), P(), P(),
                            P(), P(("cells", "species"))),
                  out_specs=P(), check_vma=False)
-        def run(setup_l, species_l, mcid_l, cdf_flat_l, cdf_coarse_l,
+        def run(setup_l, species_l, mcid_l, cdf_flat_l, cdf_bucket_l,
                 cell_rate_l, key_l, n_ev_dev):
             dev = jax.lax.axis_index("cells") * mesh.shape["species"] \
                 + jax.lax.axis_index("species")
             k = jax.random.fold_in(key_l, dev)
             out = _sample_hadrons_jit(setup_l, species_l, mcid_l, cdf_flat_l,
-                                      cdf_coarse_l, cell_rate_l, k, cfg,
+                                      cdf_bucket_l, cell_rate_l, k, cfg,
                                       capacity, n_ev_dev[0])
             out = _finalize_device(out, setup_l, cfg)
             hists = bin_histograms_device(out, S, cfg)
@@ -190,7 +190,7 @@ def sample_histograms_meshed(surf, species_table, chosen_idx, df_data,
     for r in range(n_rounds):
         counts = jnp.asarray(round_counts(r))
         kr = jax.random.fold_in(key, r)
-        h = run(setup, species, mcid, cdf_flat, cdf_coarse, cell_rate,
+        h = run(setup, species, mcid, cdf_flat, cdf_bucket, cell_rate,
                 kr, counts)
         retries = 0
         while int(h["_overflow"]) > 0:
@@ -202,7 +202,7 @@ def sample_histograms_meshed(surf, species_table, chosen_idx, df_data,
             print(f"meshed sampler round {r}: capacity overflow; retrying "
                   f"with capacity {capacity}", flush=True)
             run = make_run(capacity)
-            h = run(setup, species, mcid, cdf_flat, cdf_coarse, cell_rate,
+            h = run(setup, species, mcid, cdf_flat, cdf_bucket, cell_rate,
                     kr, counts)
         h.pop("_overflow")
         acc = h if acc is None else jax.tree_util.tree_map(jnp.add, acc, h)

@@ -58,6 +58,14 @@ def _get_lib():
             ctypes.POINTER(ctypes.c_longlong),
             ctypes.POINTER(ctypes.c_longlong),
             ctypes.POINTER(ctypes.POINTER(ctypes.c_double)), ctypes.c_int]
+        lib.i3d_write_blocks.restype = ctypes.c_longlong
+        lib.i3d_write_blocks.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char,
+            ctypes.c_int, ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_double)), ctypes.c_int,
+            ctypes.c_longlong, ctypes.c_int]
         _lib = lib
     except OSError:
         _build_failed = True
@@ -91,6 +99,35 @@ def write_events_fast(path_pattern: str, header: str, sep: str,
         col_ptrs, len(cols))
     if n < 0:
         raise OSError(f"native particle-list write failed for {path_pattern}")
+    return True
+
+
+def write_blocks_fast(path_pattern: str, file_ids, header: str, sep: str,
+                      precision: int, offsets: np.ndarray,
+                      cols: list[np.ndarray], blank_every: int = 0,
+                      blank_tail: int = 1) -> bool:
+    """Write per-id block-table text files (the op-1 continuous writers)
+    with the threaded native writer: file i = rows
+    [offsets[i], offsets[i+1]) of the shared float columns, a blank line
+    after every ``blank_every`` rows (``blank_tail``: after the final block
+    too), empty ``header`` = no header line.  Returns False (caller falls
+    back to the Python writer) when the native library is unavailable."""
+    lib = _get_lib()
+    if lib is None:
+        return False
+    file_ids = np.ascontiguousarray(file_ids, dtype=np.int64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    cols = [np.ascontiguousarray(c, dtype=np.float64) for c in cols]
+    col_ptrs = (ctypes.POINTER(ctypes.c_double) * len(cols))(
+        *[c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)) for c in cols])
+    n = lib.i3d_write_blocks(
+        path_pattern.encode(), header.encode(), sep.encode(),
+        precision, len(file_ids),
+        file_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        col_ptrs, len(cols), blank_every, blank_tail)
+    if n < 0:
+        raise OSError(f"native block-table write failed for {path_pattern}")
     return True
 
 

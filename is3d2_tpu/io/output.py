@@ -34,9 +34,29 @@ def _ensure(path: Path) -> Path:
 
 def write_spectra(results_dir: Path, mcids, spectra: np.ndarray,
                   grids: MomentumGrids, dimension: int) -> None:
-    """dN_pTdpTdphidy_<mcid>.dat (EmissionFunction.cpp:406-440)."""
+    """dN_pTdpTdphidy_<mcid>.dat (EmissionFunction.cpp:406-440).
+
+    The threaded native block writer formats the ~450 species x
+    (Ny*Nphi*NpT)-row files (the Python f-string loop it replaced cost
+    seconds per op-1 run on the 1-core host); the loop below is the
+    no-compiler fallback."""
+    from .fastio import write_blocks_fast
+
     S, NpT, Nphi, Ny = spectra.shape
     y_vals = grids.y if dimension == 3 else np.zeros(1)
+    d = _ensure(results_dir / "continuous" / "x").parent
+    rows = Ny * Nphi * NpT
+    y_c = np.repeat(y_vals, Nphi * NpT)
+    phi_c = np.tile(np.repeat(grids.phi, NpT), Ny)
+    pT_c = np.tile(grids.pT, Ny * Nphi)
+    vals = np.asarray(spectra).transpose(0, 3, 2, 1).reshape(S, rows)
+    offsets = np.arange(S + 1, dtype=np.int64) * rows
+    cols = [np.tile(y_c, S), np.tile(phi_c, S), np.tile(pT_c, S),
+            vals.ravel()]
+    if write_blocks_fast(str(d / "dN_pTdpTdphidy_%lld.dat"), list(mcids),
+                         "y\tphip\tpT\tdN_pTdpTdphidy", "\t", 8, offsets,
+                         cols, blank_every=NpT, blank_tail=1):
+        return
     for i, mcid in enumerate(mcids):
         f = _ensure(results_dir / "continuous" / f"dN_pTdpTdphidy_{mcid}.dat")
         with open(f, "w") as fh:
@@ -58,45 +78,88 @@ def write_vn(results_dir: Path, mcids, spectra: np.ndarray,
     w = grids.phi_weight
     cos_k = np.stack([np.cos((k + 1) * grids.phi) for k in range(k_max)])
     sin_k = np.stack([np.sin((k + 1) * grids.phi) for k in range(k_max)])
+
+    # vectorized vn over (S, NpT, Ny): den/re/im are phi contractions
+    sp_all = np.asarray(spectra)
+    wsp = w[None, None, :, None] * sp_all                      # (S,NpT,Nphi,Ny)
+    den = wsp.sum(axis=2)                                      # (S,NpT,Ny)
+    re = np.einsum("kf,spfy->kspy", cos_k, wsp)
+    im = np.einsum("kf,spfy->kspy", sin_k, wsp)
+    vns = np.where(den[None] < 1e-15, 0.0,
+                   np.hypot(re, im) / np.maximum(den[None], 1e-300))
+
+    from .fastio import write_blocks_fast
+    d = _ensure(results_dir / "continuous" / "x").parent
+    rows = Ny * NpT
+    y_c = np.tile(np.repeat(y_vals, NpT), S)
+    pT_c = np.tile(grids.pT, Ny * S)
+    cols = [y_c, pT_c] + [vns[k].transpose(0, 2, 1).reshape(-1)
+                          for k in range(k_max)]
+    offsets = np.arange(S + 1, dtype=np.int64) * rows
+    if write_blocks_fast(str(d / "vn_%lld.dat"), list(mcids), "", "\t", 8,
+                         offsets, cols, blank_every=NpT, blank_tail=1):
+        return
     for i, mcid in enumerate(mcids):
         f = _ensure(results_dir / "continuous" / f"vn_{mcid}.dat")
         with open(f, "w") as fh:
             for iy in range(Ny):
                 for ipT in range(NpT):
-                    sp = spectra[i, ipT, :, iy]
-                    den = float((w * sp).sum())
-                    re = (cos_k * (w * sp)[None, :]).sum(axis=1)
-                    im = (sin_k * (w * sp)[None, :]).sum(axis=1)
-                    vns = np.where(den < 1e-15, 0.0, np.hypot(re, im) / max(den, 1e-300))
-                    row = "\t".join(f"{v:.8e}" for v in vns)
+                    row = "\t".join(f"{vns[k, i, ipT, iy]:.8e}"
+                                    for k in range(k_max))
                     fh.write(f"{y_vals[iy]:.8e}\t{grids.pT[ipT]:.8e}\t{row}\n")
                 fh.write("\n")
 
 
 def write_dN_2pipTdpTdy(results_dir: Path, mcids, spectra, grids, dimension):
+    from .fastio import write_blocks_fast
+
     S, NpT, Nphi, Ny = spectra.shape
     y_vals = grids.y if dimension == 3 else np.zeros(1)
+    vals = np.einsum("f,spfy->spy", grids.phi_weight,
+                     np.asarray(spectra)) / two_pi          # (S,NpT,Ny)
+    d = _ensure(results_dir / "continuous" / "x").parent
+    rows = Ny * NpT
+    cols = [np.tile(np.repeat(y_vals, NpT), S), np.tile(grids.pT, Ny * S),
+            vals.transpose(0, 2, 1).reshape(-1)]
+    offsets = np.arange(S + 1, dtype=np.int64) * rows
+    if write_blocks_fast(str(d / "dN_2pipTdpTdy_%lld.dat"), list(mcids),
+                         "", "\t", 8, offsets, cols, blank_every=NpT,
+                         blank_tail=0):
+        return
     for i, mcid in enumerate(mcids):
         f = _ensure(results_dir / "continuous" / f"dN_2pipTdpTdy_{mcid}.dat")
         with open(f, "w") as fh:
             for iy in range(Ny):
                 for ipT in range(NpT):
-                    val = float((grids.phi_weight * spectra[i, ipT, :, iy]).sum()) / two_pi
-                    fh.write(f"{y_vals[iy]:.8e}\t{grids.pT[ipT]:.8e}\t{val:.8e}\n")
+                    fh.write(f"{y_vals[iy]:.8e}\t{grids.pT[ipT]:.8e}\t"
+                             f"{vals[i, ipT, iy]:.8e}\n")
                 if iy < Ny - 1:
                     fh.write("\n")
 
 
 def write_dN_dphidy(results_dir: Path, mcids, spectra, grids, dimension):
+    from .fastio import write_blocks_fast
+
     S, NpT, Nphi, Ny = spectra.shape
     y_vals = grids.y if dimension == 3 else np.zeros(1)
+    vals = np.einsum("p,spfy->sfy", grids.pT_weight,
+                     np.asarray(spectra))                    # (S,Nphi,Ny)
+    d = _ensure(results_dir / "continuous" / "x").parent
+    rows = Ny * Nphi
+    cols = [np.tile(np.repeat(y_vals, Nphi), S), np.tile(grids.phi, Ny * S),
+            vals.transpose(0, 2, 1).reshape(-1)]
+    offsets = np.arange(S + 1, dtype=np.int64) * rows
+    if write_blocks_fast(str(d / "dN_dphidy_%lld.dat"), list(mcids),
+                         "", "\t", 8, offsets, cols, blank_every=Nphi,
+                         blank_tail=0):
+        return
     for i, mcid in enumerate(mcids):
         f = _ensure(results_dir / "continuous" / f"dN_dphidy_{mcid}.dat")
         with open(f, "w") as fh:
             for iy in range(Ny):
                 for iphi in range(Nphi):
-                    val = float((grids.pT_weight * spectra[i, :, iphi, iy]).sum())
-                    fh.write(f"{y_vals[iy]:.8e}\t{grids.phi[iphi]:.8e}\t{val:.8e}\n")
+                    fh.write(f"{y_vals[iy]:.8e}\t{grids.phi[iphi]:.8e}\t"
+                             f"{vals[i, iphi, iy]:.8e}\n")
                 if iy < Ny - 1:
                     fh.write("\n")
 

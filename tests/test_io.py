@@ -247,3 +247,49 @@ def test_native_event_writer_roundtrip(tmp_path):
             assert np.isnan(v)
         else:
             assert v == x, f"row {i}: {tok} != {x!r}"
+
+
+def test_native_continuous_writers_match_python(tmp_path, monkeypatch):
+    """The threaded native op-1 writers must produce the same files as the
+    Python fallback loops: same parsed values, same blank-line structure."""
+    from types import SimpleNamespace
+    from is3d2_tpu.io import output
+    from is3d2_tpu.io import fastio
+
+    if fastio._get_lib() is None:
+        import pytest
+        pytest.skip("no native library")
+
+    rng = np.random.default_rng(5)
+    S, NpT, Nphi, Ny = 5, 7, 6, 1
+    spectra = rng.gamma(2.0, 1.0, size=(S, NpT, Nphi, Ny))
+    spectra[0, 2, 3, 0] = 0.0
+    grids = SimpleNamespace(
+        pT=rng.uniform(0.1, 3.0, NpT), pT_weight=rng.uniform(0.1, 1.0, NpT),
+        phi=np.sort(rng.uniform(0, 6.28, Nphi)),
+        phi_weight=rng.uniform(0.1, 1.0, Nphi),
+        y=np.zeros(1), eta=np.zeros(1), eta_weight=np.ones(1))
+    mcids = [211, -321, 2212, 3122, -100211]
+
+    d_nat = tmp_path / "nat"
+    d_py = tmp_path / "py"
+    writers = (output.write_spectra, output.write_vn,
+               output.write_dN_2pipTdpTdy, output.write_dN_dphidy)
+    for w in writers:
+        w(d_nat, mcids, spectra, grids, 2)
+    monkeypatch.setattr(fastio, "write_blocks_fast",
+                        lambda *a, **k: False)
+    for w in writers:
+        w(d_py, mcids, spectra, grids, 2)
+
+    files = sorted(p.relative_to(d_py) for p in d_py.rglob("*.dat"))
+    assert len(files) == 4 * len(mcids)
+    for rel in files:
+        a = (d_nat / rel).read_text()
+        b = (d_py / rel).read_text()
+        # blank-line structure and row count must match exactly
+        assert [len(l.split()) for l in a.splitlines()] \
+            == [len(l.split()) for l in b.splitlines()], rel
+        va = np.loadtxt(d_nat / rel, skiprows=1 if "pTdpTdphidy" in str(rel) else 0)
+        vb = np.loadtxt(d_py / rel, skiprows=1 if "pTdpTdphidy" in str(rel) else 0)
+        np.testing.assert_allclose(va, vb, rtol=2e-9, atol=0, err_msg=str(rel))

@@ -44,7 +44,10 @@ if _cache and _cache != "0":
     import jax
 
     jax.config.update("jax_compilation_cache_dir", _cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # cache tiny programs too: the driver setup stage alone runs ~80 small
+    # host-side jitted ops whose XLA:CPU compiles cost ~3.5 s/process --
+    # with min_compile_time 0 they become cache hits (~0.3 s)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from .constants import hbarC, two_pi, two_pi2_hbarC3, four_pi2_hbarC3  # noqa: E402
 from .config import Config  # noqa: E402

@@ -50,9 +50,22 @@ def _hist(sp_idx, values, lo, width, nbins, S, keep, weights=None):
 def bin_histograms_device(out: dict, S: int, cfg: Config) -> dict:
     """Jittable full histogram set over the flat hadron axis -> dict of jnp
     arrays.  Shared by the single-chip binner and the event-sharded sampler
-    (the psum'd analog of the reference's per-process histogram files)."""
+    (the psum'd analog of the reference's per-process histogram files).
+
+    Histogram = one-hot matmul on the MXU: a (S, blk) species one-hot
+    (keep folded in) contracts against a (blk, M) matrix whose column
+    groups are the per-axis bin one-hots and the 14 cos/sin-weighted vn
+    columns, scanned over hadron blocks.  The 21 scatter-adds this
+    replaces ran at ~10M scatter-ops/s on v5e (6.7 s per production
+    chunk -- the dominant cost of the op-2 histograms stage); the matmul
+    form is ~12 TFlop at production shape, tens of ms.  Counts stay exact
+    (f32 integer accumulation < 2^24); vn weighted sums differ from the
+    scatter order only at f32 rounding (~1e-7, far below the 1e-3 -- 1e-4
+    statistical resolution of 1e7-hadron campaigns)."""
     keep = out["keep"]
     sp = out["sp_idx"]
+    n = keep.shape[0]
+    f32 = jnp.float32
 
     y_w = 2.0 * cfg.y_cut / cfg.y_bins
     eta_w = 2.0 * cfg.eta_cut / cfg.eta_bins
@@ -68,35 +81,74 @@ def bin_histograms_device(out: dict, S: int, cfg: Config) -> dict:
     phis = jnp.arctan2(out["y"], out["x"])
     phis = jnp.where(phis < 0.0, phis + two_pi, phis)
 
-    dN_dy = _hist(sp, out["rapidity"], -cfg.y_cut, y_w, cfg.y_bins, S, keep)
-    dN_deta = _hist(sp, out["eta"], -cfg.eta_cut, eta_w, cfg.eta_bins, S, keep)
-    dN_pT = _hist(sp, pT, cfg.pT_min, pT_w, cfg.pT_bins, S, keep)
-    dN_phip = _hist(sp, phip, 0.0, phip_w, cfg.phip_bins, S, keep)
-    dN_tau = _hist(sp, out["tau"], cfg.tau_min, tau_w, cfg.tau_bins, S, keep)
-    dN_r = _hist(sp, r, cfg.r_min, r_w, cfg.r_bins, S, keep)
-    dN_phis = _hist(sp, phis, 0.0, phip_w, cfg.phip_bins, S, keep)
+    def axis(values, lo, width, nbins):
+        ib = jnp.floor((values.astype(f32) - lo) / width).astype(jnp.int32)
+        ok = (ib >= 0) & (ib < nbins)
+        return jnp.clip(ib, 0, nbins - 1), ok, nbins
 
-    pT_count = dN_pT  # same binning/counts (BinSampledParticle.cpp:85-90)
-    vn_real = []
-    vn_imag = []
-    for k in range(1, K_MAX + 1):
-        vn_real.append(_hist(sp, pT, cfg.pT_min, pT_w, cfg.pT_bins, S, keep,
-                             weights=jnp.cos(k * phip)))
-        vn_imag.append(_hist(sp, pT, cfg.pT_min, pT_w, cfg.pT_bins, S, keep,
-                             weights=jnp.sin(k * phip)))
+    specs = [
+        ("dN_dy", axis(out["rapidity"], -cfg.y_cut, y_w, cfg.y_bins)),
+        ("dN_deta", axis(out["eta"], -cfg.eta_cut, eta_w, cfg.eta_bins)),
+        ("dN_2pipTdpTdy", axis(pT, cfg.pT_min, pT_w, cfg.pT_bins)),
+        ("dN_dphipdy", axis(phip, 0.0, phip_w, cfg.phip_bins)),
+        ("dN_taudtaudy", axis(out["tau"], cfg.tau_min, tau_w, cfg.tau_bins)),
+        ("dN_2pirdrdy", axis(r, cfg.r_min, r_w, cfg.r_bins)),
+        ("dN_dphisdy", axis(phis, 0.0, phip_w, cfg.phip_bins)),
+    ]
+    M = sum(nb for _, (_, _, nb) in specs) + 2 * K_MAX * cfg.pT_bins
 
-    return {
-        "dN_dy": dN_dy,
-        "dN_deta": dN_deta,
-        "dN_2pipTdpTdy": dN_pT,
-        "dN_dphipdy": dN_phip,
-        "pT_count": pT_count,
-        "vn_real": jnp.stack(vn_real),
-        "vn_imag": jnp.stack(vn_imag),
-        "dN_taudtaudy": dN_tau,
-        "dN_2pirdrdy": dN_r,
-        "dN_dphisdy": dN_phis,
-    }
+    blk = min(8192, n) if n % 8192 else 8192
+    n_pad = ((n + blk - 1) // blk) * blk
+    n_blocks = n_pad // blk
+
+    def pad(a, fill=0):
+        return jnp.pad(a, (0, n_pad - n), constant_values=fill) \
+            if n_pad != n else a
+
+    sp_p = pad(sp)
+    keep_p = pad(keep, False)
+    ib_p = [pad(ib) for _, (ib, _, _) in specs]
+    ok_p = [pad(ok, False) for _, (_, ok, _) in specs]
+    pT_ib, pT_ok, _ = specs[2][1]
+    pT_ib_p, pT_ok_p = pad(pT_ib), pad(pT_ok, False)
+    phip_p = pad(phip.astype(f32))
+
+    def body(acc, i):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * blk, blk)
+        U = ((sl(sp_p)[None, :] == jnp.arange(S)[:, None])
+             & sl(keep_p)[None, :]).astype(f32)              # (S, blk)
+        cols = []
+        for ibx, okx, (_, (_, _, nb)) in zip(ib_p, ok_p, specs):
+            cols.append(((sl(ibx)[:, None] == jnp.arange(nb)[None, :])
+                         & sl(okx)[:, None]).astype(f32))
+        oh_pT = ((sl(pT_ib_p)[:, None] == jnp.arange(cfg.pT_bins)[None, :])
+                 & sl(pT_ok_p)[:, None]).astype(f32)
+        ph = sl(phip_p)
+        for k in range(1, K_MAX + 1):
+            cols.append(oh_pT * jnp.cos(k * ph)[:, None])
+        for k in range(1, K_MAX + 1):
+            cols.append(oh_pT * jnp.sin(k * ph)[:, None])
+        V = jnp.concatenate(cols, axis=1)                    # (blk, M)
+        return acc + jax.lax.dot(U, V,
+                                 precision=jax.lax.Precision.HIGHEST), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((S, M), f32),
+                          jnp.arange(n_blocks))
+    acc = acc.astype(jnp.float64) if jax.config.jax_enable_x64 else acc
+
+    res = {}
+    off = 0
+    for name, (_, _, nb) in specs:
+        res[name] = acc[:, off:off + nb]
+        off += nb
+    res["pT_count"] = res["dN_2pipTdpTdy"]  # same counts
+    B = cfg.pT_bins
+    res["vn_real"] = jnp.stack([acc[:, off + k * B: off + (k + 1) * B]
+                                for k in range(K_MAX)])
+    off += K_MAX * B
+    res["vn_imag"] = jnp.stack([acc[:, off + k * B: off + (k + 1) * B]
+                                for k in range(K_MAX)])
+    return res
 
 
 @partial(jax.jit, static_argnames=("S", "cfg"))

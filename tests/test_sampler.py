@@ -247,11 +247,19 @@ def test_streaming_chunk_binner_matches_concat(env):
                              n_events=n_events, seed=9, chunk_consumer=binner)
     hist = binner.result(n_events)
     assert int(diags["kept"]) == int(out["kept"])
+    # count histograms are exact integers in both paths (f32/f64
+    # accumulation of counts < 2^24 is exact regardless of order)
     for f in ("dN_dy", "dN_deta", "dN_2pipTdpTdy", "dN_dphipdy",
-              "vn_real", "vn_imag", "dN_taudtaudy", "dN_2pirdrdy",
-              "dN_dphisdy"):
+              "dN_taudtaudy", "dN_2pirdrdy", "dN_dphisdy"):
+        np.testing.assert_array_equal(getattr(hist, f), getattr(ref, f),
+                                      err_msg=f)
+    # the cos/sin-weighted vn sums accumulate in f32 on the MXU (the
+    # one-hot-matmul binner), so chunked-vs-concat block orders differ at
+    # ~1e-7 absolute -- orders of magnitude below the 1e-3 -- 1e-4
+    # statistical resolution of the sampled vn themselves
+    for f in ("vn_real", "vn_imag"):
         np.testing.assert_allclose(getattr(hist, f), getattr(ref, f),
-                                   rtol=1e-6, atol=1e-12, err_msg=f)
+                                   rtol=1e-4, atol=1e-5, err_msg=f)
 
 
 def test_streaming_event_writer_matches_posthoc(env, tmp_path):

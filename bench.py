@@ -39,8 +39,8 @@ def log(msg):
 # the same record.  FLOOR = fastest observed mode, granted to the
 # baseline so vs_baseline is conservative; MEDIAN = middle of the
 # observed best-of-3 session rates, the typical sustained mode.
-ORACLE_OBSERVED = [1.856e7, 2.057e7, 2.272e7]  # BENCH_r01, r02, r03
-ORACLE_FLOOR = 2.272e7                 # fastest observed session
+ORACLE_OBSERVED = [1.856e7, 2.057e7, 2.272e7, 3.026e7]  # r01, r02, r03 (x2)
+ORACLE_FLOOR = 3.026e7                 # fastest observed session
 
 
 def measure_oracle_evals_per_sec(tmp: Path):

@@ -949,10 +949,14 @@ def _finalize_device(out: dict, setup: SamplerSetup, cfg: Config,
     res = {k: v for k, v in out.items()
            if k in _SUM_KEYS or k in ("overflow", "mcid", "mass_tab")}
     res.update(
-        keep=keep, event=event, sp_idx=sp_idx, mass=mass,
+        keep=keep, event=event, sp_idx=sp_idx, cell_idx=cell_idx, mass=mass,
         tau=tau_h, x=x_h, y=y_h, eta=eta_p,
         t=tau_h * jnp.cosh(eta_p), z=tau_h * jnp.sinh(eta_p),
-        E=E_lab, px=plab_x, py=plab_y, pz=pz_lab, rapidity=rap)
+        E=E_lab, px=plab_x, py=plab_y, pz=pz_lab, rapidity=rap,
+        # (cells,)-table references: the streaming collector transfers
+        # per-hadron cell_idx + these small tables instead of the three
+        # per-hadron position columns (device->host link traffic)
+        cell_tau=c.tau, cell_x=c.x, cell_y=c.y_pos)
     return res
 
 
@@ -982,7 +986,8 @@ def _concat_chunks(chunks: list[dict]) -> dict:
             out[k] = sum(ch[k] for ch in chunks)
         elif k == "overflow":
             out[k] = False
-        elif k in ("mcid", "mass_tab"):  # (S,) tables, identical per chunk
+        elif k in ("mcid", "mass_tab", "cell_tau", "cell_x",
+                   "cell_y"):  # (S,)/(cells,) tables, identical per chunk
             out[k] = chunks[0][k]
         elif k in ("ev0", "n_ev"):  # per-chunk event spans (host ints)
             continue
@@ -1208,26 +1213,40 @@ class ChunkCollector:
     queued (the post-hoc to_particle_list conversion serializes transfer
     after all compute).  ``rapidity`` is not transferred (the writers don't
     use it), and neither are the derivable columns: mass = mass_tab[sp_idx]
-    (exact), t/z = tau cosh/sinh(eta) and E = sqrt(m^2 + p^2) (f32-rounding
-    equivalent to the device values) are reconstructed host-side -- 9
-    transferred hadron columns instead of 13, which matters both for the
+    (exact), tau/x/y = cell_table[cell_idx] (exact: the same f32 gather the
+    device would do), t/z = tau cosh/sinh(eta) and E = sqrt(m^2 + p^2)
+    (f32-rounding equivalent to the device values) are reconstructed
+    host-side -- 7 transferred hadron columns instead of 13 (the three
+    per-cell position columns became ONE i32 cell_idx + a 1.2 MB cell
+    table fetched once per campaign), which matters both for the
     device->host link and for HBM read traffic in the finalize."""
 
-    _XFER = ("event", "sp_idx", "tau", "x", "y", "eta", "px", "py", "pz")
-    _FIELDS = _XFER + ("mass", "t", "z", "E")
+    _XFER = ("event", "sp_idx", "cell_idx", "eta", "px", "py", "pz")
+    _FIELDS = ("event", "sp_idx", "tau", "x", "y", "eta", "px", "py", "pz",
+               "mass", "t", "z", "E")
 
     def __init__(self):
         self._parts = []
         self._mcid_table = None
+        self._cell_tables = None
 
     def __call__(self, ch: dict) -> None:
         host = jax.device_get({f: ch[f] for f in self._XFER
                                + ("keep", "mcid", "mass_tab")})
+        if self._cell_tables is None:
+            self._cell_tables = jax.device_get(
+                {f: ch[f] for f in ("cell_tau", "cell_x", "cell_y")})
         self._mcid_table = host["mcid"]
         keep = host["keep"]
         part = {f: host[f][keep] for f in self._XFER}
-        part["mass"] = np.asarray(host["mass_tab"]).astype(
-            part["px"].dtype)[part["sp_idx"]]
+        ct = self._cell_tables
+        dtype = part["px"].dtype
+        ci = part.pop("cell_idx")
+        part["tau"] = np.asarray(ct["cell_tau"]).astype(dtype)[ci]
+        part["x"] = np.asarray(ct["cell_x"]).astype(dtype)[ci]
+        part["y"] = np.asarray(ct["cell_y"]).astype(dtype)[ci]
+        part["mass"] = np.asarray(host["mass_tab"]).astype(dtype)[
+            part["sp_idx"]]
         part["t"] = part["tau"] * np.cosh(part["eta"])
         part["z"] = part["tau"] * np.sinh(part["eta"])
         part["E"] = np.sqrt(part["mass"] ** 2 + part["px"] ** 2

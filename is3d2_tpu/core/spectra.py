@@ -350,6 +350,10 @@ def compute_spectra(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
             from ..parallel.sharding import sharded_spectra_fast
             out = sharded_spectra_fast(cells, coeffs, species, grid, cfg,
                                        mesh, block=block)
+        elif mesh is not None and cfg.compute_dtype == "f32":
+            from ..parallel.sharding import sharded_spectra_fast_3d
+            out = sharded_spectra_fast_3d(cells, coeffs, species, grid, cfg,
+                                          mesh, block=block)
         elif mesh is not None and cfg.compute_dtype == "f64":
             from ..parallel.sharding import sharded_spectra
             out = sharded_spectra(cells, coeffs, species, grid, cfg, mesh,

@@ -464,3 +464,56 @@ def sharded_dN_dX_fast(cells: CellArrays, aux, species: SpeciesArrays,
         return tuple(jax.lax.psum(a, ("cells", "species")) for a in acc)
 
     return run(cells, aux, species, grid)
+
+
+def sharded_spectra_fast_3d(cells: CellArrays, coeffs: dict,
+                            species: SpeciesArrays, grid, cfg: Config,
+                            mesh: Mesh, block: int = 512,
+                            compute_dtype=None):
+    """df 1/2 3+1d light-cone fast path sharded over ("cells", "species").
+
+    The per-cell light-cone Q rows shard over cells; the flat
+    m = (species, pT, phi, y) contraction rows shard over the
+    species-major axis.  Cell reduction = psum over ICI, mirroring the
+    2+1d sharded_spectra_fast."""
+    from ..core.spectra_fast import (_cell_Q_3d, momentum_matrix_3d,
+                                    _spectra_fast_3d_jit, PREFACTOR)
+
+    if compute_dtype is None:
+        compute_dtype = jnp.float32
+    n_cell_shards = mesh.shape["cells"]
+    n_sp_shards = mesh.shape["species"]
+
+    S0 = species.mass.shape[0]
+    cells, coeffs = pad_cells_for_mesh(cells, coeffs, n_cell_shards, block)
+    species = pad_species(species, n_sp_shards)
+    S = species.mass.shape[0]
+
+    per_cell = _cell_Q_3d(cells, coeffs, compute_dtype)
+    mom = momentum_matrix_3d(species, grid, compute_dtype)
+
+    local_cells = cells.n_padded // n_cell_shards
+    n_blocks = max(local_cells // min(block, local_cells), 1)
+
+    NpT = grid.pT.shape[0]
+    Nphi = grid.cos_phi.shape[0]
+    Ny = grid.y.shape[0]
+    M_per_sp = NpT * Nphi * Ny
+    mom_2d = tuple(a.reshape(S, M_per_sp) for a in mom)
+
+    pc_spec = {k: P("cells") for k in per_cell}
+    mom_spec = tuple(P("species") for _ in mom_2d)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(pc_spec, mom_spec),
+             out_specs=P("species"), check_vma=False)
+    def run(per_cell_l, mom_l):
+        mom_flat = tuple(a.reshape(-1) for a in mom_l)
+        flat = _spectra_fast_3d_jit(per_cell_l, mom_flat, cfg, n_blocks,
+                                    1, "float64")
+        flat = jax.lax.psum(flat, axis_name="cells")
+        return flat.reshape(-1, NpT, Nphi, Ny)
+
+    out = run(per_cell, mom_2d)
+    out = PREFACTOR * species.degeneracy.astype(out.dtype)[:, None, None, None] * out
+    return out[:S0]

@@ -108,3 +108,29 @@ def test_driver_sampler_histograms_meshed(reference_dir, tmp_path):
     assert abs(km - ks) <= 5.0 * np.sqrt(max(ks, 1.0)) + 5.0
     # internal consistency: rapidity and pT histograms bin the same hadrons
     assert np.isclose(np.sum(hm.dN_dy), np.sum(hm.dN_2pipTdpTdy), rtol=0.2)
+
+
+def test_driver_spectra_mesh_3d(reference_dir, tmp_path):
+    """3+1d df-1 f32 spectra through the mesh (light-cone fast path,
+    sharded_spectra_fast_3d) matches single-device."""
+    surf = make_surface(72, seed=13, dimension=3, shear_scale=0.03,
+                        bulk_scale=0.015)
+    surf_file = tmp_path / "surface_gen.dat"
+    write_mode1(surf, surf_file)
+    sandbox = tmp_path / "work"
+    setup_sandbox(sandbox, {"operation": 1, "df_mode": 1, "hrg_eos": 3,
+                            "dimension": 3}, surf_file,
+                  chosen_mcids=(111, 321, 2212))
+    base = Config(operation=1, df_mode=1, hrg_eos=3, dimension=3,
+                  cell_block=64, compute_dtype="f32",
+                  include_shear_deltaf=1, include_bulk_deltaf=1)
+    single = _run(sandbox, dataclasses.replace(base, use_mesh=0)).spectra
+    meshed = _run(sandbox, dataclasses.replace(base, use_mesh=1)).spectra
+    assert meshed.shape == single.shape
+    scale = np.abs(single).max()
+    # not 1e-10 like the 2+1d tests: under xla_allow_excess_precision
+    # the per-shard compilation contracts the light-cone FMA chains
+    # differently than the single-device fusion (measured 1.6e-8; the
+    # kernel's own f32-vs-f64 accuracy is ~7e-6 -- compiler noise,
+    # not a bug)
+    assert np.max(np.abs(meshed - single)) <= 1e-7 * scale

@@ -25,6 +25,14 @@ Hardware-validated on real TPU v5e (tests/test_pallas_tpu.py): 3.5e10
 evals/s at the production bench shape vs 4.0e10 for the XLA fast path
 (the exact-f32 MXU passes cost 6x; XLA wins by fusing the contractions
 as VPU FMA chains).  `use_pallas = 1` routes production spectra here.
+
+Negative result (measured, do not retry): replacing the HIGHEST MXU dots
+with explicit VPU contractions inside the kernel -- either a serial K=14
+FMA chain (the XLA fast path's trick) or a balanced add tree -- measured
+2.4e10 / 2.2e10 evals/s on silicon: Mosaic materializes every
+(C_t,1)x(1,M_t) broadcast product as a full VMEM tile instead of fusing
+the chain in registers, so the kernel becomes VMEM-bandwidth-bound.  The
+3-pass MXU dot is the right call inside Pallas.
 """
 
 from __future__ import annotations

@@ -37,16 +37,6 @@ class SampledHistograms:
     dN_dphisdy: np.ndarray        # (S, phip_bins)
 
 
-def _hist(sp_idx, values, lo, width, nbins, S, keep, weights=None):
-    """Per-species histogram via one flat scatter-add."""
-    ib = jnp.floor((values - lo) / width).astype(jnp.int32)
-    ok = keep & (ib >= 0) & (ib < nbins)
-    flat = sp_idx * nbins + jnp.clip(ib, 0, nbins - 1)
-    w = jnp.where(ok, 1.0 if weights is None else weights, 0.0)
-    out = jnp.zeros(S * nbins)
-    return out.at[flat].add(w).reshape(S, nbins)
-
-
 def bin_histograms_device(out: dict, S: int, cfg: Config) -> dict:
     """Jittable full histogram set over the flat hadron axis -> dict of jnp
     arrays.  Shared by the single-chip binner and the event-sharded sampler

@@ -65,23 +65,44 @@ def make_surface(n_cells: int, seed: int = 0, dimension: int = 2,
 
 def make_eos_consistent(s: SurfaceData, species_table, laguerre) -> SurfaceData:
     """Overwrite (E, P) with the HRG equilibrium values at each cell's T so
-    that (E, pl, pt) triples are reconstructible by the VAH solver."""
+    that (E, pl, pt) triples are reconstructible by the VAH solver.
+
+    Cell-chunked: the eager (cells x species x quad) f64 broadcast
+    materializes ~10 multi-GB intermediates at 1e5 cells, which thrashes the
+    1-core host for minutes; one jitted fixed-shape program over 4096-cell
+    chunks runs in seconds."""
+    import jax
     import jax.numpy as jnp
     from is3d2_tpu.constants import two_pi2_hbarC3
     from is3d2_tpu.physics import thermal
 
     mask = species_table.mass > 0
-    mbar = species_table.mass[mask][None, :] / s.T[:, None]   # (c, n)
-    g = species_table.gspin[mask][None, :]
-    sgn = species_table.sign[mask][None, :]
+    m_sp = jnp.asarray(species_table.mass[mask])
+    g = jnp.asarray(species_table.gspin[mask])[None, :]
+    sgn = jnp.asarray(species_table.sign[mask])[None, :]
     r2 = jnp.asarray(laguerre.roots[2])
     w2 = jnp.asarray(laguerre.weights[2])
-    zero = np.zeros_like(mbar)
-    E_int = thermal.E_mod_integral(r2, w2, mbar, zero, sgn)
-    P_int = thermal.P_mod_integral(r2, w2, mbar, zero, sgn)
-    fact = s.T**4 / two_pi2_hbarC3
-    s.E = np.asarray(fact * np.asarray((g * E_int).sum(axis=1)))
-    s.P = np.asarray(fact * np.asarray((g * P_int).sum(axis=1)) / 3.0)
+
+    @jax.jit
+    def chunk(T):
+        mbar = m_sp[None, :] / T[:, None]
+        zero = jnp.zeros_like(mbar)
+        E_int = thermal.E_mod_integral(r2, w2, mbar, zero, sgn)
+        P_int = thermal.P_mod_integral(r2, w2, mbar, zero, sgn)
+        fact = T ** 4 / two_pi2_hbarC3
+        return fact * (g * E_int).sum(axis=1), fact * (g * P_int).sum(axis=1)
+
+    blk = 4096
+    n = s.T.shape[0]
+    n_pad = -(-n // blk) * blk
+    T_pad = np.pad(s.T, (0, n_pad - n), constant_values=0.15)
+    E_out, P_out = [], []
+    for i in range(0, n_pad, blk):
+        E_c, P_c = chunk(jnp.asarray(T_pad[i:i + blk]))
+        E_out.append(np.asarray(E_c))
+        P_out.append(np.asarray(P_c))
+    s.E = np.concatenate(E_out)[:n]
+    s.P = np.concatenate(P_out)[:n] / 3.0
     return s
 
 

@@ -94,7 +94,8 @@ def vah_from_surface(surf, n_padded: int):
 @partial(jax.jit, static_argnames=("n_blocks",))
 def _reconstruct_f64_jit(cells: CellArrays, mass_pdg, sign_pdg, deg_pdg,
                          n_blocks: int):
-    """f32 VAH Newton + 2 f64 polish steps + f64 coefficients, cell-blocked.
+    """f32 VAH Newton + one (f32 J, f64 F) chord step + f64 coefficients,
+    cell-blocked.
 
     The fully-f32 reconstruction left Lambda with solver noise that
     exp(E/Lambda) amplified to 2-3e-4 in the f32 famod spectra; running the
@@ -103,10 +104,11 @@ def _reconstruct_f64_jit(cells: CellArrays, mass_pdg, sign_pdg, deg_pdg,
     tensor evals made the reconstruction dominate the spectra and the ~10
     live 670 MB f64 loop intermediates at 16384-cell blocks faulted the
     TPU worker at 1e5 cells.  Newton converges quadratically, so the cheap
-    fix is: solve in f32 (fast, MXU/VPU-native), then take 2 chord-Newton
-    steps in f64 from that solution (err ~1e-4 -> ~1e-8 -> roundoff) -- 3
-    f64 tensor evals + 1 coefficient eval instead of ~90, matching the f64
-    reference path to ~1e-8.  Small blocks bound the f64 working set."""
+    fix is: solve in f32 (fast, MXU/VPU-native), then take ONE chord-Newton
+    step from that solution with the residual F in f64 and the chord J in
+    f32 (err ~1e-4 -> ~1e-8; see the inline note) -- 1 f64 tensor eval + 1
+    f64 coefficient eval instead of ~90, matching the f64 reference path to
+    ~1e-8.  Small blocks bound the f64 working set."""
     c = cells
     basis = lrf.milne_basis(c.tau, c.ux, c.uy, c.un)
     pi = lrf.boost_shear(basis, c.tau, c.pitt, c.pitx, c.pity, c.pitn,
@@ -133,28 +135,31 @@ def _reconstruct_f64_jit(cells: CellArrays, mass_pdg, sign_pdg, deg_pdg,
         ok = ~sol.failed
         Fargs = (E_b, pt_b, pl_b, mass_pdg, sign_pdg, deg_pdg)
         eye = jnp.eye(3, dtype=jnp.float64)[None, :, :]
-        # chord variant: J evaluated ONCE at the f32 solution, reused for
-        # both steps (J drifts O(e0) over the polish, so the chord's
-        # contraction is Newton-quality here; measured 3e-8 from the
-        # 2x(F+J) polish at 1e5 cells while dropping the single most
-        # expensive f64 eval -- J costs ~2x F: a=3 quadrature + 6
-        # t-functions).  An all-f32 J was tried and rejected: ill-
-        # conditioned cells stalled at 2e-2 in aL.
+        # chord step: ONE f64 residual F at the f32 solution, with the
+        # chord Jacobian evaluated in f32 (J only sets the chord's
+        # contraction RATE, never the f64 fixed point: a 4e-6-relative J
+        # error contributes cond(J) * 4e-6 * |dX| ~ 1e-9 to the step, vs
+        # the ~1e-8 quadratic Newton term).  Measured on v5e at 2e4 cells:
+        # f64 J = 1.1 s vs f32 J ~ 0.15 s, and the former 2nd chord step
+        # (another 0.55 s f64 F) only polished 1e-8 -> 3e-9 -- far below
+        # the ~3e-7 Lambda accuracy the 1e-5 spectra class needs.  (The
+        # earlier rejected "all-f32 J" experiment was inside the f32
+        # NEWTON, where the f32 F fixed point itself was the problem.)
         F = compute_F(X, *Fargs)
-        J = jnp.where(ok[:, None, None], compute_J(X, F, *Fargs), eye)
-        for k in range(2):
-            X_new = X + _solve3x3(J, -F)
-            good = ok & jnp.all(jnp.isfinite(X_new) & (X_new > 0.0),
-                                axis=-1)
-            X = jnp.where(good[:, None], X_new, X)
-            if k == 0:
-                F = compute_F(X, *Fargs)
+        J32 = compute_J(X.astype(f32), F.astype(f32), E_b.astype(f32),
+                        pt_b.astype(f32), pl_b.astype(f32),
+                        mass32, sign32, deg32)
+        J = jnp.where(ok[:, None, None], J32.astype(jnp.float64), eye)
+        X_new = X + _solve3x3(J, -F)
+        good = ok & jnp.all(jnp.isfinite(X_new) & (X_new > 0.0), axis=-1)
+        X = jnp.where(good[:, None], X_new, X)
         # failed lanes keep the equilibrium guess, as the reference does
         lam = jnp.where(sol.failed, T_b, X[:, 0])
         aT = jnp.where(sol.failed, 1.0, X[:, 1])
         aL = jnp.where(sol.failed, 1.0, X[:, 2])
         bpp, bwp = compute_famod_coefficients(lam, aT, aL,
-                                              mass_pdg, sign_pdg, deg_pdg)
+                                              mass_pdg, sign_pdg, deg_pdg,
+                                              mixed_precision=True)
         return lam, aT, aL, sol.failed, bpp, bwp
 
     lam, aT, aL, failed, bpp, bwp = jax.lax.map(

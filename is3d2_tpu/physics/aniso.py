@@ -364,31 +364,48 @@ def find_anisotropic_variables(E, pl, pt, lam0, aT0, aL0,
     return AnisoSolution(lam=lam, aT=aT, aL=aL, failed=failed)
 
 
-def compute_famod_coefficients(lam, aT, aL, mass, sign, degeneracy):
-    """beta_{pi,perp}, beta_{W,perp} (AnisoVariables.cpp:541-643), batched."""
+def compute_famod_coefficients(lam, aT, aL, mass, sign, degeneracy,
+                               mixed_precision: bool = False):
+    """beta_{pi,perp}, beta_{W,perp} (AnisoVariables.cpp:541-643), batched.
+
+    mixed_precision=True evaluates the (cells x species x quad) integrand
+    rows in f32 with the quadrature sum in f32 and only the species sum in
+    f64: the 16 nonnegative quadrature terms lose ~2e-7 relative in f32, far
+    below what the betas need (they scale O(0.1) viscous-correction terms
+    of the B matrix, itself consumed in f32 by the fast kernel), while the
+    f64 tensor work -- software-emulated on TPU -- drops to a (c, n) add.
+    Measured 0.55 s -> ~0.1 s at 2e4 cells on v5e."""
     aT2 = aT * aT
     aL2 = aL * aL
     lam2 = lam * lam
     common = aT2 * aL * lam * lam2 * lam2 / four_pi2_hbarC3
 
-    mbar = mass[None, :] / lam[:, None]
+    dt = jnp.float32 if mixed_precision else lam.dtype
+    lam_i = lam.astype(dt)
+    aT2_i = aT2.astype(dt)
+    aL2_i = aL2.astype(dt)
+    mbar = mass.astype(dt)[None, :] / lam_i[:, None]
     mbar2 = mbar * mbar
-    p = ROOTS_A3.astype(lam.dtype)[None, None, :]
-    w_q = WEIGHTS_A3.astype(lam.dtype)[None, None, :]
+    p = ROOTS_A3.astype(dt)[None, None, :]
+    w_q = WEIGHTS_A3.astype(dt)[None, None, :]
     p2 = p * p
 
     Ebar = jnp.sqrt(p2 + mbar2[:, :, None])
-    w = jnp.sqrt(aL2[:, None, None] + mbar2[:, :, None] / p2)
-    z = (aT2 - aL2)[:, None, None] / (w * w)
+    w = jnp.sqrt(aL2_i[:, None, None] + mbar2[:, :, None] / p2)
+    z = (aT2_i - aL2_i)[:, None, None] / (w * w)
     t402, t421, _ = _t_functions_400(z)
 
-    d = 1.0 + sign[None, :, None] * jnp.exp(-Ebar)
+    d = 1.0 + sign.astype(dt)[None, :, None] * jnp.exp(-Ebar)
     cw = w_q * jnp.exp(p - Ebar) / (d * d)
     valid = (mass > 0.0)[None, :, None]
-    g = degeneracy[None, :, None] * valid
+    g = degeneracy.astype(dt)[None, :, None] * valid
 
-    J402m1 = jnp.sum(g * p2 / Ebar * cw * t402 / w, axis=(1, 2)) * common * aT2 * aT2 / 8.0
-    J421m1 = jnp.sum(g * p2 / Ebar * cw * t421 / w, axis=(1, 2)) * common * aT2 * aL2 / 2.0
+    # quadrature sum in the integrand dtype, species sum in f64
+    q402 = jnp.sum(g * p2 / Ebar * cw * t402 / w, axis=2)       # (c, n)
+    q421 = jnp.sum(g * p2 / Ebar * cw * t421 / w, axis=2)
+    acc = lam.dtype
+    J402m1 = jnp.sum(q402.astype(acc), axis=1) * common * aT2 * aT2 / 8.0
+    J421m1 = jnp.sum(q421.astype(acc), axis=1) * common * aT2 * aL2 / 2.0
 
     betapiperp = J402m1 / (aT2 * lam)
     betaWperp = J421m1 / (aT * aL * lam)

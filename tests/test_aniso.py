@@ -74,3 +74,53 @@ def test_anisotropic_solution_consistency(pdg320):
     F = compute_F(X, E, pt, pl, mass, sign, deg)
     assert np.abs(np.asarray(F)).max() < 1e-4
     assert float(sol.aT[0]) > float(sol.aL[0])  # pt > pl -> more transverse
+
+
+def test_device_chord_polish_matches_host_f64(reference_dir, pdg320):
+    """The f32-Newton + (f32 J, f64 F) chord step reconstruction
+    (core/spectra_famod._reconstruct_f64_jit) agrees with the all-f64 host
+    Newton within the host solver's own stopping tolerance (|dX| <= 1e-4):
+    both sit near the same root, the chord's f64 residual pinning the
+    device solution to ~1e-8 of it.  The spectra-level accuracy assertion
+    (~3e-6 f32 vs f64) lives in test_f32_paths; this pins the solver
+    itself so a polish regression is caught at the source."""
+    import dataclasses
+    from is3d2_tpu.config import Config
+    from is3d2_tpu.core.cells import prepare_cells
+    from is3d2_tpu.core.spectra_famod import _reconstruct_f64_jit
+
+    mass, sign, deg = pdg320
+    species = read_pdg(3, reference_dir / "PDG")
+    laguerre = GaussLaguerre.from_file(
+        reference_dir / "tables/gauss/gla_roots_weights.txt")
+    surf = make_surface(64, seed=11, shear_scale=0.04, bulk_scale=0.02)
+    surf = make_eos_consistent(surf, species, laguerre)
+    cfg = Config(operation=1, df_mode=5, hrg_eos=3, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, cell_block=64, compute_dtype="f64")
+    cells = prepare_cells(surf, cfg, block=64)
+
+    from is3d2_tpu.physics import lrf
+    basis = lrf.milne_basis(cells.tau, cells.ux, cells.uy, cells.un)
+    pi = lrf.boost_shear(basis, cells.tau, cells.pitt, cells.pitx,
+                         cells.pity, cells.pitn, cells.pixx, cells.pixy,
+                         cells.pixn, cells.piyy, cells.piyn, cells.pinn)
+    pl = cells.P + cells.bulkPi + pi.zz
+    pt = cells.P + cells.bulkPi - pi.zz / 2.0
+
+    dev = _reconstruct_f64_jit(cells, mass, sign, deg, n_blocks=1)
+
+    host = find_anisotropic_variables(
+        jnp.asarray(cells.E, jnp.float64), jnp.asarray(pl, jnp.float64),
+        jnp.asarray(pt, jnp.float64), jnp.asarray(cells.T, jnp.float64),
+        jnp.ones(cells.n_padded), jnp.ones(cells.n_padded), mass, sign, deg)
+
+    ok = ~(np.asarray(dev["failed"]) | np.asarray(host.failed)) \
+        & np.asarray(cells.mask, bool)
+    assert ok.sum() > 50
+    for k, ref in (("lam", host.lam), ("aT", host.aT), ("aL", host.aL)):
+        err = np.abs(np.asarray(dev[k]) - np.asarray(ref))[ok] \
+            / np.abs(np.asarray(ref))[ok]
+        # the host Newton itself stops at |dX| <= 1e-4; both solutions sit
+        # within solver tolerance of the same root, and the chord's f64
+        # residual pins the device one to ~1e-8 of it
+        assert err.max() < 2e-4, f"{k}: {err.max():.2e}"

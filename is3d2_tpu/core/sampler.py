@@ -709,7 +709,15 @@ def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
     mass, sign, baryon = sp_rows[0], sp_rows[1], sp_rows[2]
     mass2 = mass * mass
 
-    # per-hadron cell properties: one packed field-major gather (see above)
+    # per-hadron cell properties: one packed field-major gather (see above).
+    # Negative result (measured, do not retry): because cell_idx is SORTED
+    # with ~80-hadron runs, this gather can be replaced by an exact int32
+    # delta-scatter + row-cumsum expansion (bitcast fields, scatter-add
+    # per-cell bit-deltas at the run boundaries, cumsum over the hadron
+    # axis, bitcast back -- bitwise identical output); A/B at (25 fields x
+    # 9.4M hadrons) on v5e measured the SAME wall as the gather: the
+    # hadron-axis cumsum's log-shift passes cost what the index resolution
+    # costs.
     fields = {
         "T": c.T, "alphaB": c.alphaB, "ratio": c.baryon_enthalpy_ratio,
         "breaks": setup.breaks_down.astype(c.T.dtype),

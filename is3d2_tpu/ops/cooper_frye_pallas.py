@@ -22,17 +22,24 @@ P16 row layout: [m1, px, py, m4, m1m1, pxpx, pypy, m4m4, m1px, m1py, m1m4,
 pxpy, pxm4, pym4, 0, 0] with m1 = mT cosh(y-eta), m4 = mT sinh(y-eta).
 
 Hardware-validated on real TPU v5e (tests/test_pallas_tpu.py): 3.5e10
-evals/s at the production bench shape vs 4.0e10 for the XLA fast path
-(the exact-f32 MXU passes cost 6x; XLA wins by fusing the contractions
-as VPU FMA chains).  `use_pallas = 1` routes production spectra here.
+evals/s at the production bench shape vs 3.9e10 for the XLA fast path
+(exact-f32 MXU passes cost 6x; XLA wins by fusing the contractions as VPU
+FMA chains).  A tile sweep on silicon (interleaved-XLA A/B to normalize
+the 2.5-35x device-window drift) found (c_tile, m_tile) = (512, 1024) the
+best config -- 3-13% slower than XLA across windows, vs a consistent
+~13% for the former (256, 512); (1024, 1024) and (512, 2048) exceed VMEM
+(Mosaic compile failure).  `use_pallas = 1` routes production spectra
+here.
 
-Negative result (measured, do not retry): replacing the HIGHEST MXU dots
-with explicit VPU contractions inside the kernel -- either a serial K=14
-FMA chain (the XLA fast path's trick) or a balanced add tree -- measured
-2.4e10 / 2.2e10 evals/s on silicon: Mosaic materializes every
-(C_t,1)x(1,M_t) broadcast product as a full VMEM tile instead of fusing
-the chain in registers, so the kernel becomes VMEM-bandwidth-bound.  The
-3-pass MXU dot is the right call inside Pallas.
+Negative results (measured, do not retry):
+- Replacing the HIGHEST MXU dots with explicit VPU contractions inside
+  the kernel -- either a serial K=14 FMA chain (the XLA fast path's
+  trick) or a balanced add tree -- measured 2.4e10 / 2.2e10 evals/s on
+  silicon: Mosaic materializes every (C_t,1)x(1,M_t) broadcast product as
+  a full VMEM tile instead of fusing the chain in registers, so the
+  kernel becomes VMEM-bandwidth-bound.
+- Precision.HIGH (the 3-pass bf16 dot, half the cost of HIGHEST's 6) is
+  not legalizable by Mosaic at all: "Unsupported dot precision: HIGH".
 """
 
 from __future__ import annotations
@@ -50,7 +57,7 @@ from .spectra_fast_common import pack_inputs  # noqa: F401  (re-export helper)
 
 
 def _kernel(q_ref, cols_ref, mom_ref, eta_ref, out_ref, *, cfg: Config,
-            n_eta: int):
+            n_eta: int, precision=jax.lax.Precision.HIGHEST):
     """q_ref: (C_t, 64) stacked [Q_E(16) | Q_d(16) | Q_pi(16) | Q_V(16)]
     cols_ref: (C_t, 16) per-cell scalars
       [invT, alphaB, shear, bulk0, bulk1, bulk2, diff0, diff1, mask, ...]
@@ -103,17 +110,17 @@ def _kernel(q_ref, cols_ref, mom_ref, eta_ref, out_ref, *, cfg: Config,
         ], axis=0)                                        # (16, M_t)
 
         E = jnp.dot(Q_E, P16, preferred_element_type=f32,
-                    precision=jax.lax.Precision.HIGHEST)   # (C_t, M_t)
+                    precision=precision)   # (C_t, M_t)
         pdd = jnp.dot(Q_d, P16, preferred_element_type=f32,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=precision)
         if cfg.include_shear_deltaf:
             pim = jnp.dot(Q_pi, P16, preferred_element_type=f32,
-                          precision=jax.lax.Precision.HIGHEST)
+                          precision=precision)
         else:
             pim = 0.0
         if cfg.include_baryon and cfg.include_baryondiff_deltaf:
             Vp = jnp.dot(Q_V, P16, preferred_element_type=f32,
-                         precision=jax.lax.Precision.HIGHEST)
+                         precision=precision)
         else:
             Vp = 0.0
 
@@ -167,9 +174,10 @@ def _kernel(q_ref, cols_ref, mom_ref, eta_ref, out_ref, *, cfg: Config,
 
 
 def cooper_frye_pallas(q, cols, mom, eta_pack, cfg: Config,
-                       c_tile: int = 256, m_tile: int = 512,
+                       c_tile: int = 512, m_tile: int = 1024,
                        n_eta: int | None = None,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       precision=jax.lax.Precision.HIGHEST):
     """Run the fused kernel.
 
     q: (C, 64), cols: (C, 16), mom: (8, M), eta_pack: (8, n_eta_pad)
@@ -189,7 +197,7 @@ def cooper_frye_pallas(q, cols, mom, eta_pack, cfg: Config,
     # (everything in the kernel is f32/i32 regardless)
     with jax.enable_x64(False):
       out = pl.pallas_call(
-        partial(_kernel, cfg=cfg, n_eta=n_eta),
+        partial(_kernel, cfg=cfg, n_eta=n_eta, precision=precision),
         out_shape=jax.ShapeDtypeStruct((8, M), jnp.float32),
         grid=(n_m, n_c),
         in_specs=[

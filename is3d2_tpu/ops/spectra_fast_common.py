@@ -27,7 +27,7 @@ def _round_up(x: int, m: int) -> int:
 
 def pack_inputs(cells: CellArrays, coeffs: dict, species: SpeciesArrays,
                 grid: MomentumGridDevice, cfg: Config,
-                c_tile: int = 256, m_tile: int = 512):
+                c_tile: int = 512, m_tile: int = 1024):
     f32 = jnp.float32
     c = cells
     C = c.n_padded
@@ -108,8 +108,9 @@ def pack_inputs(cells: CellArrays, coeffs: dict, species: SpeciesArrays,
 
 def compute_spectra_pallas(cells: CellArrays, coeffs: dict,
                            species: SpeciesArrays, grid: MomentumGridDevice,
-                           cfg: Config, c_tile: int = 256, m_tile: int = 512,
-                           interpret: bool = False):
+                           cfg: Config, c_tile: int = 512, m_tile: int = 1024,
+                           interpret: bool = False,
+                           precision=None):
     """Full Pallas spectra: returns (S, NpT, Nphi, 1) f64."""
     from .cooper_frye_pallas import cooper_frye_pallas
 
@@ -123,9 +124,11 @@ def compute_spectra_pallas(cells: CellArrays, coeffs: dict,
 
     q, cols, mom, eta_pack, M, Ne = pack_inputs(cells, coeffs, species, grid,
                                                 cfg, c_tile, m_tile)
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
     flat = cooper_frye_pallas(q, cols, mom, eta_pack, cfg,
                               c_tile=c_tile, m_tile=m_tile, n_eta=Ne,
-                              interpret=interpret)[:M]
+                              interpret=interpret, precision=precision)[:M]
     S = species.mass.shape[0]
     NpT = grid.pT.shape[0]
     Nphi = grid.cos_phi.shape[0]

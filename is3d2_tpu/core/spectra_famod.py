@@ -126,6 +126,14 @@ def _reconstruct_f64_jit(cells: CellArrays, mass_pdg, sign_pdg, deg_pdg,
     def solve(args):
         E_b, pl_b, pt_b, T_b = args
         T32 = T_b.astype(f32)
+        # NOTE (measured negative result, 2026-08-18): warm-starting this
+        # Newton from the conformal factorization approximant (io/surface
+        # aL_fit + R200, arsenal.cu:1018-1079) was interleaved-A/B'd at 1e5
+        # cells on v5e: 0.92-1.09x wall (window noise, ~neutral), and it
+        # REGRESSED famod f32-vs-f64 spectra accuracy 3e-5 -> 1.1e-4 -- the
+        # chord polish does not fully pin the root (~3e-5 residual guess
+        # dependence), and the closer start makes the f32 Newton stop at a
+        # worse-converged point.  Keep the equilibrium guess; do not retry.
         sol = find_anisotropic_variables(
             E_b.astype(f32), pl_b.astype(f32), pt_b.astype(f32),
             T32, jnp.ones_like(T32), jnp.ones_like(T32),

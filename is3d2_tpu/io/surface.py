@@ -224,26 +224,31 @@ def _read_cpu_vh(cols: np.ndarray, mode: int, include_baryon: bool) -> SurfaceDa
     return s
 
 
+# [14/14] rational-approximant coefficients of the conformal factorization
+# fit a_L(P_L/P_eq) (arsenal.cu:1018-1045), highest power first; shared with
+# the VAH Newton warm start (physics/aniso.conformal_warm_start)
+AL_FIT_NUM = (
+    0.048528166213735346, -0.6320131889637761, 1.462901772148128,
+    8.04299287188939, -33.75866652773691, 12.673594148032494,
+    44.45243622597357, 11.582755440134724, 0.7235583305942909,
+    0.011776118846199547, 0.00004757224421671691, 4.2846163672079405e-8,
+    7.2725449826862375e-12, 1.7179667824677117e-16, 2.307660683188896e-22,
+)
+AL_FIT_DEN = (
+    -0.014599143701745957, 0.4703844693488544, -4.005934533735304,
+    11.636087951096759, 1.5449108423263358, -55.213789667214364,
+    44.38310108782752, 40.1581708710626, 5.466199358534425,
+    0.18185453852532632, 0.0015212379997299082, 2.9819348588423508e-6,
+    1.2033043382301483e-9, 8.059757191879689e-14, 5.595674409987461e-19,
+)
+
+
 def aL_fit(pl_peq_ratio: np.ndarray) -> np.ndarray:
     """Conformal factorization fit a_L(P_L/P_eq) (arsenal.cu:1018-1045):
     the [14/14] rational approximant used by the legacy VAH P_L-matching
     pipeline."""
     x = np.asarray(pl_peq_ratio, dtype=np.float64)
-    num = np.polyval([
-        0.048528166213735346, -0.6320131889637761, 1.462901772148128,
-        8.04299287188939, -33.75866652773691, 12.673594148032494,
-        44.45243622597357, 11.582755440134724, 0.7235583305942909,
-        0.011776118846199547, 0.00004757224421671691, 4.2846163672079405e-8,
-        7.2725449826862375e-12, 1.7179667824677117e-16, 2.307660683188896e-22,
-    ], x)
-    den = np.polyval([
-        -0.014599143701745957, 0.4703844693488544, -4.005934533735304,
-        11.636087951096759, 1.5449108423263358, -55.213789667214364,
-        44.38310108782752, 40.1581708710626, 5.466199358534425,
-        0.18185453852532632, 0.0015212379997299082, 2.9819348588423508e-6,
-        1.2033043382301483e-9, 8.059757191879689e-14, 5.595674409987461e-19,
-    ], x)
-    return num / den
+    return np.polyval(AL_FIT_NUM, x) / np.polyval(AL_FIT_DEN, x)
 
 
 def R200(aL: np.ndarray) -> np.ndarray:

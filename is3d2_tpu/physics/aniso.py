@@ -89,17 +89,28 @@ def _t_functions_200(z):
 
 
 def _t_functions_400(z):
-    """t_402, t_421, t_440 (AnisoVariables.cpp:201-245)."""
-    z_safe_pos = jnp.where(z > DELTA, z, 1.0)
+    """t_402, t_421, t_440 (AnisoVariables.cpp:201-245).
+
+    The exact branches cancel catastrophically near z = 0 (the numerators
+    collapse to O(z^2) before the /4z^2): in f32 the absolute ~3 eps_32
+    rounding of the bracketed terms becomes a ~eps_32/z^2 RELATIVE error --
+    ~1.5e-3 just outside the reference's |z| <= 0.01 Taylor window, which
+    leaked ~1e-4 into the mixed-precision famod spectra (near-isotropic
+    cells sit exactly there).  In f32 the Taylor window is therefore
+    widened to |z| <= 0.2, balancing the 7-term series truncation
+    (~1.4e-6 at 0.2) against the exact-branch cancellation just outside
+    (~3.5e-6 at 0.2); f64 keeps the reference window."""
+    delta = DELTA if z.dtype == jnp.float64 else 0.2
+    z_safe_pos = jnp.where(z > delta, z, 1.0)
     sqrtz = jnp.sqrt(z_safe_pos)
     t_pos = jnp.arctan(sqrtz) / sqrtz
-    z_safe_neg = jnp.where((z < -DELTA) & (z > -1.0), z, -0.5)
+    z_safe_neg = jnp.where((z < -delta) & (z > -1.0), z, -0.5)
     sqrtmz = jnp.sqrt(-z_safe_neg)
     t_neg = jnp.arctanh(sqrtmz) / sqrtmz
-    t = jnp.where(z > DELTA, t_pos, t_neg)
+    t = jnp.where(z > delta, t_pos, t_neg)
 
     z2 = z * z
-    zs2 = jnp.where(jnp.abs(z) <= DELTA, 1.0, z2)
+    zs2 = jnp.where(jnp.abs(z) <= delta, 1.0, z2)
 
     t402_e = (3. * (z - 1.) + (z * (3. * z - 2.) + 3.) * t) / (4. * zs2)
     t421_e = (3. + z + (1. + z) * (z - 3.) * t) / (4. * zs2)
@@ -121,7 +132,7 @@ def _t_functions_400(z):
               - 0.008658008658008663 * z3 + 0.004662004662004657 * z4
               - 0.002797202797202792 * z5 + 0.0018099547511312257 * z6)
 
-    taylor = jnp.abs(z) <= DELTA
+    taylor = jnp.abs(z) <= delta
     return (jnp.where(taylor, t402_t, t402_e),
             jnp.where(taylor, t421_t, t421_e),
             jnp.where(taylor, t440_t, t440_e))

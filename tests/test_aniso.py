@@ -61,6 +61,27 @@ def test_famod_coefficients_isotropic_limit(pdg320):
     assert (np.asarray(bpp) > 0).all()
 
 
+def test_famod_coefficients_mixed_precision(pdg320):
+    """The f32 mixed-precision coefficient path agrees with f64 even for
+    near-isotropic cells whose z = (aT^2 - aL^2)/w^2 falls just outside the
+    f64 Taylor window of the t_40x functions, where the f32 exact branch
+    cancels catastrophically (eps_32/z^2 relative; regression: this leaked
+    ~1e-4 into the 3+1d f32 famod spectra before the f32 window was widened
+    to |z| <= 0.2 in physics/aniso._t_functions_400)."""
+    mass, sign, deg = pdg320
+    d = jnp.asarray([-0.3, -0.05, -0.011, 1e-4, 0.011, 0.05, 0.3])
+    lam = jnp.full_like(d, 0.15)
+    aL = jnp.sqrt(1.0 - d / 2.0)
+    aT = jnp.sqrt(1.0 + d / 2.0)
+    b64 = compute_famod_coefficients(lam, aT, aL, mass, sign, deg)
+    b32 = compute_famod_coefficients(lam, aT, aL, mass, sign, deg,
+                                     mixed_precision=True)
+    for name, x64, x32 in zip(("betapiperp", "betaWperp"), b64, b32):
+        err = (np.abs(np.asarray(x32) - np.asarray(x64))
+               / np.abs(np.asarray(x64)))
+        assert err.max() < 2e-5, f"{name}: {err.max():.2e}"
+
+
 def test_anisotropic_solution_consistency(pdg320):
     """Anisotropic targets: solver residual is small and aT != aL."""
     mass, sign, deg = pdg320

@@ -225,8 +225,9 @@ def _read_cpu_vh(cols: np.ndarray, mode: int, include_baryon: bool) -> SurfaceDa
 
 
 # [14/14] rational-approximant coefficients of the conformal factorization
-# fit a_L(P_L/P_eq) (arsenal.cu:1018-1045), highest power first; shared with
-# the VAH Newton warm start (physics/aniso.conformal_warm_start)
+# fit a_L(P_L/P_eq) (arsenal.cu:1018-1045), highest power first; used only
+# by aL_fit below (a VAH Newton warm start that once shared them was
+# measured wall-neutral and rejected, see core/spectra_famod.py)
 AL_FIT_NUM = (
     0.048528166213735346, -0.6320131889637761, 1.462901772148128,
     8.04299287188939, -33.75866652773691, 12.673594148032494,

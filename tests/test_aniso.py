@@ -105,7 +105,6 @@ def test_device_chord_polish_matches_host_f64(reference_dir, pdg320):
     device solution to ~1e-8 of it.  The spectra-level accuracy assertion
     (~3e-6 f32 vs f64) lives in test_f32_paths; this pins the solver
     itself so a polish regression is caught at the source."""
-    import dataclasses
     from is3d2_tpu.config import Config
     from is3d2_tpu.core.cells import prepare_cells
     from is3d2_tpu.core.spectra_famod import _reconstruct_f64_jit

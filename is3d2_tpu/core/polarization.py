@@ -112,12 +112,17 @@ def compute_polarization(surf, species_table: SpeciesTable,
     grid = MomentumGridDevice.from_grids(grids, cfg.dimension)
     delta_eta = float(grids.eta[1] - grids.eta[0]) if len(grids.eta) > 1 else 1.0
     from ..parallel.sharding import auto_mesh
-    mesh = auto_mesh(cfg) if cfg.compute_dtype == "f32" else None
-    if mesh is not None:
+    mesh = auto_mesh(cfg)
+    if mesh is not None and cfg.compute_dtype == "f32":
         from ..parallel.sharding import sharded_polarization_fast
         acc = sharded_polarization_fast(cells, species, grid,
                                         float(plasma.temperature), cfg, mesh,
                                         block=block, delta_eta=delta_eta)
+    elif mesh is not None:
+        from ..parallel.sharding import sharded_polarization
+        acc = sharded_polarization(cells, species, grid,
+                                   float(plasma.temperature), cfg, mesh,
+                                   block=block, delta_eta=delta_eta)
     elif cfg.compute_dtype == "f32":
         from .polarization_fast import compute_polarization_fast
         acc = compute_polarization_fast(cells, species, grid,

@@ -391,6 +391,10 @@ def compute_spectra(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
             from .spectra_feqmod_fast import compute_spectra_feqmod_fast
             out = compute_spectra_feqmod_fast(cells, fq, species, grid, cfg,
                                               n_cell_blocks=n_blocks)
+        elif mesh is not None:
+            from ..parallel.sharding import sharded_spectra_mod_f64
+            out = sharded_spectra_mod_f64(cells, fq, species, grid, cfg,
+                                          mesh, block=block)
         else:
             out = _spectra_feqmod_jit(cells, fq, species, grid, cfg, n_blocks)
     elif cfg.df_mode == 5:
@@ -414,6 +418,10 @@ def compute_spectra(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
             from .spectra_feqmod_fast import compute_spectra_feqmod_fast
             out = compute_spectra_feqmod_fast(cells, fm, species, grid, cfg,
                                               n_cell_blocks=n_blocks)
+        elif mesh is not None:
+            from ..parallel.sharding import sharded_spectra_mod_f64
+            out = sharded_spectra_mod_f64(cells, fm, species, grid, cfg,
+                                          mesh, block=block)
         else:
             out = _spectra_famod_jit(cells, fm, species, grid, cfg, n_blocks)
     else:

@@ -18,8 +18,10 @@ This is algebraically identical to core/spectra.py's broadcast form (same
 operations, same order within each dot product up to matmul reassociation)
 and is validated against it; the f64 reference path remains spectra.py.
 
-Currently implements the 2+1d benchmark path (boost-invariant surfaces,
-df 1/2); 3+1d falls back to the broadcast kernel.
+Implements both the 2+1d benchmark path (boost-invariant surfaces, df 1/2)
+and the 3+1d light-cone kernel (`momentum_matrix_3d` / `_cell_Q_3d`: the
+(y - eta) hyperbolics fold into per-cell e^{+-eta} light-cone components so
+m = (species, pT, phi, y) contractions stay MXU matmuls).
 """
 
 from __future__ import annotations

@@ -6,8 +6,8 @@ parameters, surface, PDG list, delta-f coefficient tables, quadrature grids,
 then run the requested operation and write results.
 
 Library use (the JETSCAPE-style in-memory path, iS3D.cpp:33-78) is
-``IS3D.from_memory(...)``; after operation 2 the sampled events are available
-as ``.final_particles``.
+``IS3D.load_surface_from_memory(...)``; after operation 2 the sampled events
+are available as ``.final_particles``.
 """
 
 from __future__ import annotations
@@ -215,10 +215,7 @@ class IS3D:
                 # compute on the 1-core host, NORTHSTAR r2)
                 writer = output.StreamingEventWriter(results,
                                                      csv=bool(cfg.write_csv))
-                sample_particles(self.surface, self.species,
-                                 self.chosen_idx, self.df_data, cfg,
-                                 self.laguerre, n_events, report=report,
-                                 chunk_consumer=writer)
+                self._sample_streaming(cfg, n_events, report, writer)
                 self._mark_compute(t_compute, "sampling")
                 ta = time.time()
                 self.final_particles = writer.particle_list()
@@ -234,10 +231,7 @@ class IS3D:
             else:
                 # library path (no files): stream chunks into host numpy
                 collector = ChunkCollector()
-                sample_particles(self.surface, self.species,
-                                 self.chosen_idx, self.df_data, cfg,
-                                 self.laguerre, n_events, report=report,
-                                 chunk_consumer=collector)
+                self._sample_streaming(cfg, n_events, report, collector)
                 self._mark_compute(t_compute, "sampling")
                 ta = time.time()
                 self.final_particles = collector.particle_list()
@@ -254,6 +248,26 @@ class IS3D:
 
         report.print()
         print(f"Particlization took {time.time() - t0:.3f} seconds")
+
+    def _sample_streaming(self, cfg: Config, n_events: int, report,
+                          consumer) -> None:
+        """Production op-2 sampling into a streaming chunk consumer: the
+        event axis shards over the mesh when cfg.use_mesh enables one (the
+        reference's process-farm oversampling,
+        run_multithread_sampling_iS3D.py:18-31), else the single-device
+        pipelined chunk stream."""
+        from .parallel.sharding import auto_mesh
+        mesh = auto_mesh(cfg)
+        if mesh is not None:
+            from .parallel.sampler_shard import sample_particles_meshed
+            sample_particles_meshed(self.surface, self.species,
+                                    self.chosen_idx, self.df_data, cfg,
+                                    self.laguerre, n_events, mesh,
+                                    report=report, chunk_consumer=consumer)
+        else:
+            sample_particles(self.surface, self.species, self.chosen_idx,
+                             self.df_data, cfg, self.laguerre, n_events,
+                             report=report, chunk_consumer=consumer)
 
     def _mark_compute(self, t_start: float, what: str) -> None:
         dt = time.time() - t_start

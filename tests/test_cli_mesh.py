@@ -88,6 +88,37 @@ def test_driver_polarization_mesh_matches_single(reference_dir, tmp_path):
         assert np.max(np.abs(np.asarray(a) - np.asarray(b))) <= 1e-10 * scale
 
 
+def test_driver_polarization_mesh_f64(reference_dir, tmp_path):
+    """f64 polarization must route through the mesh too (VERDICT r3 item 6:
+    it was the one engine x dtype combination that skipped auto_mesh)."""
+    wd = _workdir(tmp_path, {"operation": 1, "df_mode": 1, "hrg_eos": 3,
+                             "mode": 5}, vorticity=True)
+    base = Config(operation=1, df_mode=1, hrg_eos=3, mode=5, cell_block=64,
+                  compute_dtype="f64")
+    single = _run(wd, dataclasses.replace(base, use_mesh=0)).polarization
+    meshed = _run(wd, dataclasses.replace(base, use_mesh=1)).polarization
+    for a, b in zip(single, meshed):
+        scale = max(np.abs(np.asarray(a)).max(), 1e-300)
+        assert np.max(np.abs(np.asarray(a) - np.asarray(b))) <= 1e-12 * scale
+
+
+@pytest.mark.parametrize("df_mode", [3, 5])
+def test_driver_spectra_mesh_mod_f64(reference_dir, tmp_path, df_mode):
+    """f64 feqmod/famod spectra shard over cells (sharded_spectra_mod_f64);
+    the meshed result differs from single-device only by f64 psum
+    reordering."""
+    wd = _workdir(tmp_path, {"operation": 1, "df_mode": df_mode,
+                             "hrg_eos": 3})
+    base = Config(operation=1, df_mode=df_mode, hrg_eos=3, cell_block=64,
+                  compute_dtype="f64", include_shear_deltaf=1,
+                  include_bulk_deltaf=1)
+    single = _run(wd, dataclasses.replace(base, use_mesh=0)).spectra
+    meshed = _run(wd, dataclasses.replace(base, use_mesh=1)).spectra
+    assert meshed.shape == single.shape
+    scale = np.abs(single).max()
+    assert np.max(np.abs(meshed - single)) <= 1e-12 * scale
+
+
 def test_driver_sampler_histograms_meshed(reference_dir, tmp_path):
     """Event-sharded op-2 histograms through the driver: the total kept
     yield must close against the smooth total-yield estimate (statistical,
@@ -108,6 +139,49 @@ def test_driver_sampler_histograms_meshed(reference_dir, tmp_path):
     assert abs(km - ks) <= 5.0 * np.sqrt(max(ks, 1.0)) + 5.0
     # internal consistency: rapidity and pT histograms bin the same hadrons
     assert np.isclose(np.sum(hm.dN_dy), np.sum(hm.dN_2pipTdpTdy), rtol=0.2)
+
+
+def test_driver_particle_list_meshed(reference_dir, tmp_path):
+    """Production op-2 particle-list campaign through the mesh (VERDICT r3
+    item 1): the event axis shards over the devices and each round streams
+    one contiguous-event chunk into the OSCAR writer.  The meshed campaign
+    must agree with the single-device one statistically (independent RNG
+    streams), and the written event files must carry exactly the in-memory
+    kept rows across exactly n_events files."""
+    (tmp_path / "m").mkdir()
+    (tmp_path / "s").mkdir()
+    wd_m = _workdir(tmp_path / "m", {"operation": 2, "df_mode": 1,
+                                     "hrg_eos": 3})
+    wd_s = _workdir(tmp_path / "s", {"operation": 2, "df_mode": 1,
+                                     "hrg_eos": 3})
+    base = Config(operation=2, df_mode=1, hrg_eos=3, oversample=1,
+                  test_sampler=0, min_num_hadrons=20000,
+                  max_num_samples=400, cell_block=64,
+                  compute_dtype="f32", fast=1, sampler_seed=3,
+                  sampler_chunk_hadrons=4096,  # force a multi-round campaign
+                  include_shear_deltaf=1, include_bulk_deltaf=1)
+    run_m = IS3D(wd_m, cfg=dataclasses.replace(base, use_mesh=1))
+    run_m.run_particlization()
+    run_s = IS3D(wd_s, cfg=dataclasses.replace(base, use_mesh=0))
+    run_s.run_particlization()
+
+    pm, ps = run_m.final_particles, run_s.final_particles
+    assert run_m.n_events == run_s.n_events
+    km, ks = pm.n_valid, ps.n_valid
+    # same campaign size, independent streams: agree to ~5 sigma Poisson
+    assert abs(km - ks) <= 5.0 * np.sqrt(max(ks, 1.0)) + 5.0
+    # event ids cover exactly the campaign range
+    assert pm.event.min() >= 0 and pm.event.max() < run_m.n_events
+    # kinematics statistically consistent (mean pT to ~5 sigma of the mean)
+    pT_m = np.hypot(pm.px, pm.py)
+    pT_s = np.hypot(ps.px, ps.py)
+    sigma = pT_s.std() * np.sqrt(1.0 / km + 1.0 / ks)
+    assert abs(pT_m.mean() - pT_s.mean()) <= 5.0 * sigma
+    # exact row counts: the written OSCAR files hold every kept row once
+    files = sorted((wd_m / "results").glob("particle_list_osc_*.dat"))
+    assert len(files) == run_m.n_events
+    rows = sum(sum(1 for _ in open(f)) - 1 for f in files)  # minus header
+    assert rows == km
 
 
 def test_driver_spectra_mesh_3d(reference_dir, tmp_path):

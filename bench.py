@@ -115,31 +115,78 @@ def measure_sampler(surf, species_t, chosen, df_data, cfg, ref):
               + 6.0 * np.sqrt(mean_1ev * n_events) + 1024)
     key = jax.random.PRNGKey(3)
 
-    cdf_flat, cdf_bucket, cell_rate = S._species_cdf_jit(setup.rates)
+    cdf_flat, cdf_bucket, cell_rate = S._species_alias(setup.rates)
+
+    # chunk-0 style unfused first run fixes the compaction pad, as the
+    # production iter_chunks does
+    t0 = time.time()
+    out0 = S._sample_hadrons_jit(setup, species, mcid, cdf_flat,
+                                 cdf_bucket, cell_rate, key, cfg2, cap,
+                                 n_events, species_draw="alias")
+    fin0 = S._finalize_chunk(out0, setup, cfg2, lean=True)
+    kept0 = int(fin0["kept"])
+    log(f"sampler compile+first (unfused chunk 0): {time.time() - t0:.1f}s "
+        f"({int(fin0['drawn'])} drawn, {kept0} kept, {n_events} events)")
+    bucket = 8192 if cap < (4 << 20) else (1 << 20)
+    pad = int(kept0 * 1.25 + 6.0 * np.sqrt(max(kept0, 1.0)) + 1024)
+    pad = min(max(bucket, -(-pad // bucket) * bucket), cap)
 
     def run_once():
-        out = S._sample_hadrons_jit(setup, species, mcid, cdf_flat,
-                                    cdf_bucket, cell_rate, key, cfg2, cap,
-                                    n_events)
-        out = S._finalize_chunk(out, setup, cfg2)
-        # force the finalized columns (the kept-count transfer above only
-        # fences the core pipeline)
-        float(out["E"].sum())
-        return int(out["kept"]), int(out["drawn"])
+        # the fused steady-state program the pipelined chunk stream uses
+        # (lean finalize: the production particle-list path emits only the
+        # streamed-transfer columns)
+        fin = S._sample_finalize_jit(setup, species, mcid, cdf_flat,
+                                     cdf_bucket, cell_rate, key, cfg2, cap,
+                                     n_events, 0,
+                                     pad if pad < cap else None, True,
+                                     "alias")
+        # force the finalized columns (host read: fences on axon)
+        float(fin["pz"].sum())
+        return int(fin["kept"]), int(fin["drawn"])
 
     t0 = time.time()
     kept, drawn = run_once()
-    log(f"sampler compile+first: {time.time() - t0:.1f}s "
-        f"({drawn} drawn, {kept} kept, {n_events} events)")
-    times = []
+    log(f"sampler fused compile+first: {time.time() - t0:.1f}s")
+
+    # per-phase wall split (VERDICT r3 item 2): time pipeline prefixes
+    # (stop_after probes; XLA DCEs everything downstream) interleaved
+    # round-robin with the full run in ONE process, then difference the
+    # best-of prefix times -- the tunnel device's speed varies between
+    # windows, so only same-process interleaved ratios are comparable.
+    stages = ["decode", "counts", "gathers", "momentum", "weights"]
+
+    def run_stage(stop):
+        out = S._sample_hadrons_jit(setup, species, mcid, cdf_flat,
+                                    cdf_bucket, cell_rate, key, cfg2, cap,
+                                    n_events, stop_after=stop,
+                                    species_draw="alias")
+        float(out["_probe"])  # host read: fences on the axon backend
+
+    for stop in stages:  # compile pass
+        run_stage(stop)
+    stage_best = {s: [] for s in stages + ["full"]}
     for _ in range(3):
+        for stop in stages:
+            t0 = time.time()
+            run_stage(stop)
+            stage_best[stop].append(time.time() - t0)
         t0 = time.time()
         kept, drawn = run_once()
-        times.append(time.time() - t0)
-    best = min(times)
+        stage_best["full"].append(time.time() - t0)
+    best_of = {s: min(v) for s, v in stage_best.items()}
+    prev = 0.0
+    phases = {}
+    for s in stages:
+        phases[s] = max(best_of[s] - prev, 0.0)
+        prev = max(best_of[s], prev)
+    phases["finalize"] = max(best_of["full"] - prev, 0.0)
+    log("sampler phase split (marginal best-of-3 s): "
+        + ", ".join(f"{k} {v:.3f}" for k, v in phases.items()))
+
+    best = best_of["full"]
     log(f"sampler steady state: {best:.3f}s -> {kept/best:.3e} kept/s, "
         f"{drawn/best:.3e} drawn/s")
-    return kept / best, drawn / best
+    return kept / best, drawn / best, phases
 
 
 def _steady(fn, label, repeats=3):
@@ -286,7 +333,7 @@ def main():
     rate = evals / best
     log(f"steady state: {best:.3f}s for {evals:.3e} evals -> {rate:.3e} evals/s")
 
-    sampler_kept_per_s, sampler_drawn_per_s = measure_sampler(
+    sampler_kept_per_s, sampler_drawn_per_s, sampler_phases = measure_sampler(
         surf, species_t, chosen, df_data, cfg, ref)
 
     engines = measure_engines(species_t, grids, tables, ref,
@@ -318,6 +365,7 @@ def main():
             "median_observed": oracle_median},
         "sampler_kept_hadrons_per_s": sampler_kept_per_s,
         "sampler_drawn_hadrons_per_s": sampler_drawn_per_s,
+        "sampler_phase_seconds": sampler_phases,
         "engine_steady_seconds_4096cells": engines,
     }
     # the shared axon device's execution speed varies 2.5-35x between time

@@ -418,4 +418,62 @@ long long i3d_write_blocks(const char *path_pattern, const char *header,
   return total;
 }
 
+// ---------------------------------------------------------------------
+// Walker alias tables for the sampler's per-hadron species draw.
+//
+// Vose's O(S) construction per cell (inherently sequential per cell: a
+// small/large stack pairing), threaded over cells.  The draw on device is
+// then exactly TWO random gathers per hadron (prob + alias) from (C, S)
+// tables -- the inverse-CDF bucket scheme needed a gather from a (C, 2048)
+// pointer table (5x the bytes, and on TPU random-gather cost grows with
+// the table footprint) plus bisection rounds.  Built in f64; the stored
+// f32 prob rounds each species probability by <= 2^-24 relative, the same
+// class as the f32 CDF it replaces.
+long long i3d_build_alias(const double *rates, long long C, long long S,
+                          float *prob, int *alias_idx, int n_threads_req) {
+  if (C <= 0 || S <= 0 || S > 0x7FFF) return -1;
+  unsigned n_threads = n_threads_req > 0
+      ? (unsigned)n_threads_req
+      : std::max(1u, std::thread::hardware_concurrency());
+  if ((long long)n_threads > C) n_threads = (unsigned)C;
+
+  auto work = [&](unsigned t) {
+    std::vector<int> small((size_t)S), large((size_t)S);
+    std::vector<double> p((size_t)S);
+    long long c0 = C * t / n_threads, c1 = C * (t + 1) / n_threads;
+    for (long long c = c0; c < c1; c++) {
+      const double *r = rates + c * S;
+      float *pb = prob + c * S;
+      int *ab = alias_idx + c * S;
+      double tot = 0.0;
+      for (long long s = 0; s < S; s++) tot += r[s] > 0.0 ? r[s] : 0.0;
+      if (!(tot > 0.0)) {  // masked/empty cell: uniform table, never drawn
+        for (long long s = 0; s < S; s++) { pb[s] = 1.0f; ab[s] = (int)s; }
+        continue;
+      }
+      int ns = 0, nl = 0;
+      double scale = (double)S / tot;
+      for (long long s = 0; s < S; s++) {
+        p[s] = (r[s] > 0.0 ? r[s] : 0.0) * scale;
+        if (p[s] < 1.0) small[ns++] = (int)s; else large[nl++] = (int)s;
+      }
+      while (ns && nl) {
+        int s = small[--ns], l = large[--nl];
+        pb[s] = (float)p[s];
+        ab[s] = l;
+        p[l] = (p[l] + p[s]) - 1.0;
+        if (p[l] < 1.0) small[ns++] = l; else large[nl++] = l;
+      }
+      // leftovers are exactly-1 columns (f64 roundoff aside)
+      while (nl) { int l = large[--nl]; pb[l] = 1.0f; ab[l] = l; }
+      while (ns) { int s = small[--ns]; pb[s] = 1.0f; ab[s] = s; }
+    }
+  };
+
+  std::vector<std::thread> threads;
+  for (unsigned t = 0; t < n_threads; t++) threads.emplace_back(work, t);
+  for (auto &th : threads) th.join();
+  return C * S;
+}
+
 }  // extern "C"

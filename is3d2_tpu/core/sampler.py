@@ -606,12 +606,47 @@ def _species_cdf(rates):
         (rows + jnp.clip(b, 0, NB)).reshape(-1)].add(1.0).reshape(C, NB + 1)
     strict_upper = jnp.triu(jnp.ones((NB + 1, NB + 1), jnp.float32), k=1)
     bucket = jax.lax.dot(hist, strict_upper,
-                         precision=jax.lax.Precision.HIGHEST)
-    return (cdf.reshape(-1), bucket.astype(jnp.int32).reshape(-1),
-            cell_rate)
+                         precision=jax.lax.Precision.HIGHEST
+                         ).astype(jnp.int32)
+    # pack the bracket [T[k], T[k+1]] of every bucket into ONE int32
+    # (lo + width << 16): the per-hadron draw then needs a single random
+    # gather for its window instead of two (each full-width random gather
+    # is the dominant cost of the species draw, see _sample_hadrons_jit).
+    # width <= S < 2^15, so the packed value stays in int32 range.
+    packed = bucket[:, :-1] + ((bucket[:, 1:] - bucket[:, :-1]) << 16)
+    return cdf.reshape(-1), packed.reshape(-1), cell_rate
 
 
 _species_cdf_jit = jax.jit(_species_cdf)
+
+
+def _species_alias(rates):
+    """Walker alias tables for the per-hadron species draw (host build,
+    once per campaign): returns (prob_flat f32 (C*S,), alias_flat i32
+    (C*S,), cell_rate f32 (C,)).
+
+    The on-device draw is exactly TWO random gathers per hadron from
+    (C, S)-footprint tables -- measured 3.6x faster than the bucketed
+    inverse-CDF draw (0.55 s -> 0.15 s per 8e6-hadron chunk on v5e): TPU
+    random-gather cost grows with the table footprint, and the CDF
+    scheme's (C, 2049) pointer table gather alone cost 0.15 s, before its
+    bisection rounds and straggler machinery.  The alias draw is i.i.d.
+    from the same per-cell categorical (species probabilities exact to the
+    f64 build, f32-rounded once in the stored prob -- the same 2^-24 class
+    as the f32 CDF it replaces).  Kept alongside `_species_cdf`: the
+    ensemble sampler builds its tables INSIDE a vmapped device program
+    where a host-side C call cannot run."""
+    from ..io.fastio import build_alias_tables
+    r = np.asarray(rates, dtype=np.float64)
+    prob, alias = build_alias_tables(r)
+    cell_rate = r.sum(axis=1).astype(np.float32)
+    # field-major pack (prob bitcast to i32, alias) so the per-hadron draw
+    # resolves its random index ONCE for both rows (see the field-gather
+    # note in _sample_hadrons_jit: index resolution dominates, not bytes)
+    packed = np.stack([prob.reshape(-1).view(np.int32),
+                       alias.reshape(-1)])
+    return (jnp.asarray(packed), jnp.zeros((), jnp.int32),
+            jnp.asarray(cell_rate))
 
 
 @jax.jit
@@ -624,16 +659,125 @@ def _cast_f32_jit(tree):
         if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a, tree)
 
 
-@partial(jax.jit, static_argnames=("cfg", "capacity"))
+# df coefficient columns each mode's hadron pipeline reads (w_visc,
+# ParticleSampler.cpp:780-809); the packed gather stack carries only these
+_DF_COLS_USED = {
+    1: ("c0_minus_c2", "c1", "fourc2_minus_c0", "c3", "c4", "shear14",
+        "bulkPi"),
+    2: ("two_betapi_T", "three_T", "F_over_T2", "G", "betaV",
+        "bulkPi_over_betabulk"),
+    3: ("two_betapi_T", "three_T", "F_over_T2", "G", "betaV",
+        "bulkPi_over_betabulk"),
+    4: ("two_betapi_T", "delta_z_m3dl", "dl_over_T"),
+}
+
+
+def _species_draw_cdf(cdf_flat, cdf_bucket, cell_idx, k_sp, S_count: int,
+                      capacity: int, stop_after: str | None):
+    """Bucketed inverse-CDF species draw (the `_species_cdf` tables): the
+    packed pointer table brackets "first s with cdf[s] > u" to
+    [T[k], T[k+1]], k = floor(u * NB) (exact: NB is a power of two, so the
+    scalings are exact f32 and the bracket is provably correct) with ONE
+    random gather.  Two UNROLLED bisect rounds resolve every window of
+    width <= 3 (>= 99% of lanes: u is uniform over buckets, and wide
+    windows -- clusters of near-zero-rate species sharing a bucket -- are
+    rare in probability); the stragglers are scatter-compacted into a
+    small buffer and bisected to completion there, then merged back by
+    gather.  A GLOBAL while_loop instead runs ceil(log2(max window)) = ~9
+    full-width gather+state rounds for ALL lanes because the widest single
+    window (the near-1.0 cdf cluster of heavy species, width ~370)
+    dictates the trip count.  The trailing global while_loop is the
+    exactness net: it normally exits on its first cond check and only
+    bisects in the astronomically-rare case of a straggler-buffer
+    overflow, so the drawn species is ALWAYS bitwise the full bisection's.
+
+    Used by the vmapped ensemble sampler (tables built on device inside
+    the program); the campaign samplers use the alias draw
+    (`_species_alias`, measured 3.6x faster).  Returns (sp_idx, None), or
+    (None, probe dict) when ``stop_after`` names one of its probes."""
+    u_sp = jax.random.uniform(k_sp, (capacity,), dtype=jnp.float32)
+    NB = _CDF_BUCKETS
+    kb = (u_sp * NB).astype(jnp.int32)           # in [0, NB-1]: u < 1
+    if stop_after == "usp":
+        return None, {"_probe": jnp.sum(kb)}
+    packed_t = jnp.take(cdf_bucket, cell_idx * NB + kb, axis=0)
+    lo = jnp.minimum(packed_t & 0xFFFF, S_count - 1)
+    hi = jnp.minimum(lo + (packed_t >> 16), S_count - 1)
+    base = cell_idx * S_count
+    if stop_after == "bracket":
+        return None, {"_probe": jnp.sum(lo) + jnp.sum(hi)}
+
+    def _bisect_round(lo_c, hi_c, base_c, u_c):
+        # idempotent on resolved lanes: lo == hi implies cdf[mid] > u by
+        # the bracket invariant, so (lo, hi) is unchanged
+        mid = (lo_c + hi_c) >> 1
+        cmid = jnp.take(cdf_flat, base_c + mid, axis=0)
+        go_right = cmid <= u_c
+        return (jnp.where(go_right, mid + 1, lo_c),
+                jnp.where(go_right, hi_c, mid))
+
+    lo, hi = _bisect_round(lo, hi, base, u_sp)
+    lo, hi = _bisect_round(lo, hi, base, u_sp)
+    if stop_after == "unroll":
+        return None, {"_probe": jnp.sum(lo) + jnp.sum(hi)}
+
+    m_sp = max(1024, capacity // 64)
+    if m_sp < capacity:
+        unresolved = lo < hi
+        idx_s, pos_s = _compaction_index(unresolved, m_sp)
+        sub_i = jnp.take(jnp.stack([lo, hi, base]), idx_s, axis=1)
+        u_sub = jnp.take(u_sp, idx_s, axis=0)
+
+        def _sub_cond(state):
+            lo_c, hi_c = state
+            return jnp.any(lo_c < hi_c)
+
+        def _sub_body(state):
+            lo_c, hi_c = state
+            return _bisect_round(lo_c, hi_c, sub_i[2], u_sub)
+
+        lo_s, _ = jax.lax.while_loop(_sub_cond, _sub_body,
+                                     (sub_i[0], sub_i[1]))
+        in_buf = unresolved & (pos_s < m_sp)
+        back = jnp.take(lo_s, jnp.clip(pos_s, 0, m_sp - 1), axis=0)
+        lo = jnp.where(in_buf, back, lo)
+        hi = jnp.where(in_buf, back, hi)
+
+    def _bisect_cond(state):
+        lo_c, hi_c = state
+        return jnp.any(lo_c < hi_c)
+
+    def _bisect_body(state):
+        lo_c, hi_c = state
+        return _bisect_round(lo_c, hi_c, base, u_sp)
+
+    lo, hi = jax.lax.while_loop(_bisect_cond, _bisect_body, (lo, hi))
+    return jnp.minimum(lo, S_count - 1), None
+
+
+@partial(jax.jit, static_argnames=("cfg", "capacity", "stop_after",
+                                   "species_draw"))
 def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
                         mcid: jnp.ndarray, cdf_flat, cdf_bucket, cell_rate,
-                        key, cfg: Config, capacity: int, n_events):
+                        key, cfg: Config, capacity: int, n_events,
+                        stop_after: str | None = None,
+                        species_draw: str = "cdf"):
     """The full flat-hadron pipeline; returns raw per-hadron arrays.
 
     ``n_events`` is traced (NOT static) so an event-chunked campaign with a
     short remainder chunk reuses one compiled program.  ``cdf_flat`` /
     ``cdf_bucket`` / ``cell_rate`` come from `_species_cdf` (one
-    computation per campaign)."""
+    computation per campaign).
+
+    ``stop_after`` (static; None in production) truncates the pipeline
+    after a named phase and returns a probe reduction that depends on all
+    of that phase's outputs -- the measurement hook bench.py uses to
+    publish the per-phase wall-clock split (VERDICT r3 item 2): XLA
+    dead-code-eliminates everything after the probe, so timing the
+    truncated programs and differencing gives each phase's marginal cost.
+    Phases: "counts" (Poisson yield draw + run-length decode + bucketed
+    species draw), "gathers" (the packed per-hadron field gathers),
+    "momentum" (the rejection loop), "weights" (viscous + flux keep)."""
     c = setup.cells
     y_max = cfg.y_cut if cfg.dimension == 2 else 0.5
     volume = 2.0 * y_max * setup.ds_max
@@ -666,36 +810,32 @@ def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
         jnp.minimum(cum, capacity)].add(1, mode="drop")
     cell_idx = jnp.minimum(jnp.cumsum(marks), counts.shape[0] - 1)
 
-    # species: bucketed inverse-CDF draw.  The pointer table brackets
-    # "first s with cdf[s] > u" to [T[k], T[k+1]], k = floor(u * NB)
-    # (exact: NB is a power of two, so the scalings are exact f32 and the
-    # bracket is provably correct -- see _species_cdf); a while_loop
-    # bisects the residual window, running exactly as many full-width
-    # gather rounds as the widest lane's window needs (typically 1-3 vs
-    # the 9 of a full bisection).  Bitwise the same species as a full
-    # bisection for the same u.
-    u_sp = jax.random.uniform(k_sp, (capacity,), dtype=jnp.float32)
-    NB = _CDF_BUCKETS
-    kb = (u_sp * NB).astype(jnp.int32)           # in [0, NB-1]: u < 1
-    base_t = cell_idx * (NB + 1) + kb
-    lo = jnp.minimum(jnp.take(cdf_bucket, base_t, axis=0), S_count - 1)
-    hi = jnp.minimum(jnp.take(cdf_bucket, base_t + 1, axis=0), S_count - 1)
-    base = cell_idx * S_count
+    if stop_after == "decode":
+        return {"_probe": jnp.sum(cell_idx)
+                + jnp.sum(valid.astype(jnp.int32)), "total": total}
 
-    def _bisect_cond(state):
-        lo_c, hi_c = state
-        return jnp.any(lo_c < hi_c)
+    if species_draw == "alias":
+        # Walker alias draw (see _species_alias): cdf_flat/cdf_bucket carry
+        # the (C*S,) prob/alias tables; two gathers, no bisection.
+        u2 = jax.random.uniform(k_sp, (2, capacity), dtype=jnp.float32)
+        # u*S rounding can hit S exactly at u -> 1-ulp: clamp (a ~2^-24
+        # nonuniformity, the same class as the f32 tables themselves)
+        j = jnp.minimum((u2[0] * S_count).astype(jnp.int32), S_count - 1)
+        pidx = cell_idx * S_count + j
+        rows = jnp.take(cdf_flat, pidx, axis=1)   # (2, capacity) packed
+        pr = jax.lax.bitcast_convert_type(rows[0], jnp.float32)
+        sp_idx = jnp.where(u2[1] < pr, j, rows[1])
+    else:
+        sp_idx, probe = _species_draw_cdf(cdf_flat, cdf_bucket, cell_idx,
+                                          k_sp, S_count, capacity,
+                                          stop_after)
+        if probe is not None:
+            probe["total"] = total
+            return probe
 
-    def _bisect_body(state):
-        lo_c, hi_c = state
-        mid = (lo_c + hi_c) >> 1
-        cmid = jnp.take(cdf_flat, base + mid, axis=0)
-        go_right = cmid <= u_sp
-        return (jnp.where(go_right, mid + 1, lo_c),
-                jnp.where(go_right, hi_c, mid))
-
-    lo, hi = jax.lax.while_loop(_bisect_cond, _bisect_body, (lo, hi))
-    sp_idx = jnp.minimum(lo, S_count - 1)
+    if stop_after == "counts":
+        return {"_probe": jnp.sum(sp_idx) + jnp.sum(cell_idx)
+                + jnp.sum(valid.astype(jnp.int32)), "total": total}
 
     # per-hadron species properties: ONE packed gather, FIELD-MAJOR.  The
     # field axis must be the major (sublane) axis: a (hadrons, 3) gather
@@ -709,7 +849,10 @@ def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
     mass, sign, baryon = sp_rows[0], sp_rows[1], sp_rows[2]
     mass2 = mass * mass
 
-    # per-hadron cell properties: one packed field-major gather (see above).
+    # per-hadron cell properties: one packed field-major gather (see above),
+    # restricted to the columns THIS df mode's pipeline actually reads (the
+    # full 37-row stack gathered ~14 dead rows on the df-1 path -- the
+    # packed take's HBM read traffic scales with the row count).
     # Negative result (measured, do not retry): because cell_idx is SORTED
     # with ~80-hadron runs, this gather can be replaced by an exact int32
     # delta-scatter + row-cumsum expansion (bitcast fields, scatter-add
@@ -719,50 +862,67 @@ def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
     # hadron-axis cumsum's log-shift passes cost what the index resolution
     # costs.
     fields = {
-        "T": c.T, "alphaB": c.alphaB, "ratio": c.baryon_enthalpy_ratio,
-        "breaks": setup.breaks_down.astype(c.T.dtype),
-        "alphaB_mod": setup.alphaB_mod, "T_mod": setup.T_mod,
-        "pixx": setup.pixx, "pixy": setup.pixy, "pixz": setup.pixz,
-        "piyy": setup.piyy, "piyz": setup.piyz, "pizz": setup.pizz,
-        "Vx": setup.Vx, "Vy": setup.Vy, "Vz": setup.Vz,
+        # the LRF surface element: flux weight, every mode
         "dst": setup.dst, "dsx": setup.dsx, "dsy": setup.dsy,
         "dsz": setup.dsz, "ds_max": setup.ds_max,
         # cell position/flow columns are NOT gathered here: the lab-frame
         # reconstruction runs after kept-row compaction (_finalize_device),
         # at ~30% of the envelope width
     }
+    if cfg.df_mode != 5:  # famod samples at (lambda, upsilonB): T unused
+        fields["T"] = c.T
+    if cfg.df_mode in (1, 2, 3, 4):  # pimunu p p in the viscous weight
+        fields.update(pixx=setup.pixx, pixy=setup.pixy, pixz=setup.pixz,
+                      piyy=setup.piyy, piyz=setup.piyz, pizz=setup.pizz)
+    if cfg.df_mode in (1, 2, 3):  # V.p diffusion terms + baryon chem
+        fields.update(alphaB=c.alphaB, Vx=setup.Vx, Vy=setup.Vy,
+                      Vz=setup.Vz)
+    if cfg.df_mode in (2, 3):
+        fields["ratio"] = c.baryon_enthalpy_ratio
     if cfg.df_mode in (3, 4):
+        fields["breaks"] = setup.breaks_down.astype(c.T.dtype)
         fields["shear_mod"] = setup.shear_mod
         fields["iso"] = setup.isotropic_scale
     if cfg.df_mode == 3:
         fields["diff_mod"] = setup.diff_mod
-    for _n, _a in setup.df_cols.items():
-        fields["df:" + _n] = _a
+    if cfg.df_mode in (3, 5):  # modified sampling (T, alphaB)
+        fields["alphaB_mod"] = setup.alphaB_mod
+        fields["T_mod"] = setup.T_mod
+    # df coefficient columns read by THIS mode's w_visc / rescale (famod
+    # reads its whole dict: the B rescale matrix)
+    _used = _DF_COLS_USED.get(cfg.df_mode)
+    for _n in (_used if _used is not None else setup.df_cols):
+        fields["df:" + _n] = setup.df_cols[_n]
     _names = sorted(fields)
     _packed = jnp.stack([fields[k] for k in _names], axis=0)
     _rows = jnp.take(_packed, cell_idx, axis=1)
     _col = {k: _rows[i] for i, k in enumerate(_names)}
 
+    if stop_after == "gathers":
+        return {"_probe": jnp.sum(_rows) + jnp.sum(sp_rows),
+                "total": total}
+
     def gf(name):
         return _col[name]
 
-    T = gf("T")
-    alphaB = gf("alphaB")
-    ratio = gf("ratio")
-    breaks = gf("breaks") > 0.5
-    chem = baryon * alphaB
-    chem_mod = baryon * gf("alphaB_mod")
+    # mode-conditional columns (static cfg: untaken branches never trace,
+    # so their fields are not in the gather stack)
+    chem = baryon * gf("alphaB") if cfg.df_mode in (1, 2, 3) else None
+    ratio = gf("ratio") if cfg.df_mode in (2, 3) else None
+    breaks = (gf("breaks") > 0.5) if cfg.df_mode in (3, 4) else None
+    chem_mod = baryon * gf("alphaB_mod") if cfg.df_mode in (3, 5) else None
 
     # sampling temperature & chemical potential per df mode
     if cfg.df_mode == 1 or cfg.df_mode == 2:
-        T_s, chem_s = T, chem
+        T_s, chem_s = gf("T"), chem
     elif cfg.df_mode == 3:
         # breakdown cells fall back to CE sampling at (T, chem)
-        T_s = jnp.where(breaks, T, gf("T_mod"))
+        T_s = jnp.where(breaks, gf("T"), gf("T_mod"))
         chem_s = jnp.where(breaks, chem, chem_mod)
     elif cfg.df_mode == 4:
         # PTB samples at (T, 0) always (ParticleSampler.cpp:1018)
-        T_s, chem_s = T, jnp.zeros_like(chem)
+        T_s = gf("T")
+        chem_s = jnp.zeros_like(T_s)
     else:  # famod samples at (lambda, b * upsilonB) (ParticleSampler.cpp:1537)
         T_s = gf("T_mod")
         chem_s = chem_mod
@@ -770,9 +930,16 @@ def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
     E0, px0, py0, pz0, feq, mom_ok, n_prop, n_acc = _sample_momentum(
         k_mom, mass, sign, T_s, chem_s, count_mask=valid)
 
-    pixx, pixy, pixz = gf("pixx"), gf("pixy"), gf("pixz")
-    piyy, piyz, pizz = gf("piyy"), gf("piyz"), gf("pizz")
-    Vx, Vy, Vz = gf("Vx"), gf("Vy"), gf("Vz")
+    if stop_after == "momentum":
+        return {"_probe": jnp.sum(E0 + px0 + py0 + pz0 + feq)
+                + jnp.sum(mom_ok.astype(jnp.int32)) + n_prop + n_acc,
+                "total": total}
+
+    if cfg.df_mode in (1, 2, 3, 4):
+        pixx, pixy, pixz = gf("pixx"), gf("pixy"), gf("pixz")
+        piyy, piyz, pizz = gf("piyy"), gf("piyz"), gf("pizz")
+    if cfg.df_mode in (1, 2, 3):
+        Vx, Vy, Vz = gf("Vx"), gf("Vy"), gf("Vz")
 
     # feqmod momentum rescale (rescale_momentum, ParticleSampler.cpp:407-426)
     if cfg.df_mode == 5:
@@ -789,11 +956,12 @@ def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
         iso = gf("iso")
         if cfg.df_mode == 3:
             dmod = gf("diff_mod") * (E0 * ratio + baryon)
-        else:
-            dmod = jnp.zeros_like(E0)
-        rx = iso * px0 + shear_mod * (pixx * px0 + pixy * py0 + pixz * pz0) + dmod * Vx
-        ry = iso * py0 + shear_mod * (pixy * px0 + piyy * py0 + piyz * pz0) + dmod * Vy
-        rz = iso * pz0 + shear_mod * (pixz * px0 + piyz * py0 + pizz * pz0) + dmod * Vz
+            dVx, dVy, dVz = dmod * Vx, dmod * Vy, dmod * Vz
+        else:  # PTB has no diffusion rescale term
+            dVx = dVy = dVz = 0.0
+        rx = iso * px0 + shear_mod * (pixx * px0 + pixy * py0 + pixz * pz0) + dVx
+        ry = iso * py0 + shear_mod * (pixy * px0 + piyy * py0 + piyz * pz0) + dVy
+        rz = iso * pz0 + shear_mod * (pixz * px0 + piyz * py0 + pizz * pz0) + dVz
         rE = jnp.sqrt(mass2 + rx * rx + ry * ry + rz * rz)
         use_mod = ~breaks
         px = jnp.where(use_mod, rx, px0)
@@ -805,9 +973,12 @@ def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
 
     # viscous weight (ParticleSampler.cpp:947-1047)
     feqbar = 1.0 - sign * feq
-    pimunu_pp = (px0 * px0 * pixx + py0 * py0 * piyy + pz0 * pz0 * pizz
-                 + 2.0 * (px0 * py0 * pixy + px0 * pz0 * pixz + py0 * pz0 * piyz))
-    Vmu_pmu = -(px0 * Vx + py0 * Vy + pz0 * Vz)
+    if cfg.df_mode in (1, 2, 3, 4):
+        pimunu_pp = (px0 * px0 * pixx + py0 * py0 * piyy + pz0 * pz0 * pizz
+                     + 2.0 * (px0 * py0 * pixy + px0 * pz0 * pixz
+                              + py0 * pz0 * piyz))
+    if cfg.df_mode in (1, 2, 3):
+        Vmu_pmu = -(px0 * Vx + py0 * Vy + pz0 * Vz)
     def gd(name):
         return gf("df:" + name)
 
@@ -849,6 +1020,10 @@ def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
     # explicit f32 draw: the default dtype is f64 under x64, emulated on TPU
     u_keep = jax.random.uniform(k_keep, (capacity,), dtype=jnp.float32)
     keep = valid & mom_ok & (u_keep < (w_flux * w_visc).astype(jnp.float32))
+
+    if stop_after == "weights":
+        return {"_probe": jnp.sum(keep.astype(jnp.int32))
+                + jnp.sum(E + px + py + pz), "total": total}
 
     event = jax.random.randint(k_event, (capacity,), 0, n_events)
 
@@ -892,7 +1067,7 @@ _SUM_KEYS = ("total", "mom_proposals", "mom_acceptances", "drawn", "kept",
 
 
 def _finalize_device(out: dict, setup: SamplerSetup, cfg: Config,
-                     pad: int | None = None) -> dict:
+                     pad: int | None = None, lean: bool = False) -> dict:
     """Compact to the kept rows (optional) and reconstruct the lab-frame
     Milne kinematics.  Runs AFTER the keep decision so the boost, rapidity
     draw and (t, z) transcendentals cost only the kept width (~30% of the
@@ -902,7 +1077,14 @@ def _finalize_device(out: dict, setup: SamplerSetup, cfg: Config,
     With ``pad`` (static), the kept rows are gathered into a pad-length
     buffer via a scatter-built compaction index: jnp.nonzero(size=pad)
     lowers ~12x slower (890 ms vs 72 ms at 1e7 lanes on v5e), and packed
-    field-major takes replace per-field takes (1.1 s -> ~0.1 s)."""
+    field-major takes replace per-field takes (1.1 s -> ~0.1 s).
+
+    ``lean`` (static) emits only the columns the streaming particle-list
+    consumers transfer (ChunkCollector._XFER): mass/tau/x/y/t/z/E are
+    derived host-side from sp_idx / cell_idx / eta anyway, so computing
+    and materializing them per chunk on device is pure HBM waste on the
+    production op-2 path (the histogram binner needs them and keeps
+    lean=False)."""
     c = setup.cells
     k_rap = out["_k_rap"]
     if pad is None:
@@ -913,20 +1095,29 @@ def _finalize_device(out: dict, setup: SamplerSetup, cfg: Config,
     else:
         idx, _ = _compaction_index(out["keep"], pad)
         keep = jnp.arange(pad) < out["kept"]
-        fpack = jnp.take(jnp.stack([out["mass"], out["E"], out["px"],
-                                    out["py"], out["pz"]]), idx, axis=1)
-        mass, E, px, py, pz = (fpack[i] for i in range(5))
-        ipack = jnp.take(jnp.stack([out["event"].astype(jnp.int32),
-                                    out["sp_idx"].astype(jnp.int32),
-                                    out["cell_idx"].astype(jnp.int32)]),
-                         idx, axis=1)
-        event, sp_idx, cell_idx = (ipack[i] for i in range(3))
+        # ONE packed take for the float AND int columns (f32 rows bitcast
+        # to i32): the gather's index resolution is paid once for all rows
+        bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+        rows = [bc(out["E"]), bc(out["px"]), bc(out["py"]), bc(out["pz"]),
+                out["event"].astype(jnp.int32),
+                out["sp_idx"].astype(jnp.int32),
+                out["cell_idx"].astype(jnp.int32)]
+        if not lean:
+            rows.append(bc(out["mass"]))
+        pack = jnp.take(jnp.stack(rows), idx, axis=1)
+        fb = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+        E, px, py, pz = fb(pack[0]), fb(pack[1]), fb(pack[2]), fb(pack[3])
+        event, sp_idx, cell_idx = pack[4], pack[5], pack[6]
+        mass = fb(pack[7]) if not lean else None
 
     n = keep.shape[0]
     # cell position/flow at kept width: one packed field-major take
-    cpack = jnp.take(jnp.stack([c.tau, c.ux, c.uy, c.un, c.eta, c.x,
-                                c.y_pos]), cell_idx, axis=1)
-    tau_h, ux_h, uy_h, un_h, eta_cell, x_h, y_h = (cpack[i] for i in range(7))
+    crows = [c.tau, c.ux, c.uy, c.un, c.eta]
+    if not lean:
+        crows += [c.x, c.y_pos]
+    cpack = jnp.take(jnp.stack(crows), cell_idx, axis=1)
+    tau_h, ux_h, uy_h, un_h, eta_cell = (cpack[i] for i in range(5))
+    x_h, y_h = (cpack[5], cpack[6]) if not lean else (None, None)
 
     # boost LRF -> lab Milne (Momentum.cpp:14-31)
     basis_h = lrf.milne_basis(tau_h, ux_h, uy_h, un_h)
@@ -945,33 +1136,65 @@ def _finalize_device(out: dict, setup: SamplerSetup, cfg: Config,
         sinheta = (ptau * sinhy - tau_pn * coshy) / mT
         eta_p = jnp.arcsinh(sinheta)
         pz_lab = mT * sinhy
-        E_lab = mT * coshy
+        E_lab = None if lean else mT * coshy
     else:
         sinheta = jnp.sinh(eta_cell)
         cosheta = jnp.sqrt(1.0 + sinheta * sinheta)
         pz_lab = tau_h * pn * cosheta + ptau * sinheta
-        E_lab = jnp.sqrt(mass * mass + plab_x**2 + plab_y**2 + pz_lab**2)
-        rap = 0.5 * jnp.log((E_lab + pz_lab) / (E_lab - pz_lab))
+        if lean:
+            E_lab = rap = None
+        else:
+            E_lab = jnp.sqrt(mass * mass + plab_x**2 + plab_y**2
+                             + pz_lab**2)
+            rap = 0.5 * jnp.log((E_lab + pz_lab) / (E_lab - pz_lab))
         eta_p = eta_cell
 
     res = {k: v for k, v in out.items()
            if k in _SUM_KEYS or k in ("overflow", "mcid", "mass_tab")}
     res.update(
-        keep=keep, event=event, sp_idx=sp_idx, cell_idx=cell_idx, mass=mass,
-        tau=tau_h, x=x_h, y=y_h, eta=eta_p,
-        t=tau_h * jnp.cosh(eta_p), z=tau_h * jnp.sinh(eta_p),
-        E=E_lab, px=plab_x, py=plab_y, pz=pz_lab, rapidity=rap,
+        keep=keep, event=event, sp_idx=sp_idx, cell_idx=cell_idx,
+        eta=eta_p, px=plab_x, py=plab_y, pz=pz_lab,
         # (cells,)-table references: the streaming collector transfers
         # per-hadron cell_idx + these small tables instead of the three
         # per-hadron position columns (device->host link traffic)
         cell_tau=c.tau, cell_x=c.x, cell_y=c.y_pos)
+    if not lean:
+        res.update(
+            mass=mass, tau=tau_h, x=x_h, y=y_h,
+            t=tau_h * jnp.cosh(eta_p), z=tau_h * jnp.sinh(eta_p),
+            E=E_lab, rapidity=rap)
     return res
 
 
-_finalize_jit = jax.jit(_finalize_device, static_argnames=("cfg", "pad"))
+_finalize_jit = jax.jit(_finalize_device, static_argnames=("cfg", "pad",
+                                                           "lean"))
 
 
-def _finalize_chunk(out: dict, setup: SamplerSetup, cfg: Config) -> dict:
+@partial(jax.jit, static_argnames=("cfg", "capacity", "pad", "lean",
+                                   "species_draw"))
+def _sample_finalize_jit(setup: SamplerSetup, species: SpeciesArrays,
+                         mcid, tab_f, tab_i, cell_rate, key, cfg: Config,
+                         capacity: int, n_events, ev0, pad: int | None,
+                         lean: bool, species_draw: str):
+    """Hadron pipeline + kept-row finalize fused into ONE device program.
+
+    The two-program split (sample, then finalize with a host-chosen pad)
+    materializes ~9 capacity-width arrays to HBM between the programs --
+    ~0.7 GB of round-trip traffic per 1e7-hadron chunk, and (in lean mode)
+    columns XLA could otherwise dead-code-eliminate.  The pipelined chunk
+    stream knows the pad BEFORE dispatching (chunk 0 fixes it), so every
+    chunk after the first runs fused; chunk 0 and overflow retries keep
+    the split path (`_finalize_chunk` needs the measured kept count)."""
+    out = _sample_hadrons_jit(setup, species, mcid, tab_f, tab_i,
+                              cell_rate, key, cfg, capacity, n_events,
+                              species_draw=species_draw)
+    fin = _finalize_device(out, setup, cfg, pad=pad, lean=lean)
+    fin["event"] = fin["event"] + ev0
+    return fin
+
+
+def _finalize_chunk(out: dict, setup: SamplerSetup, cfg: Config,
+                    lean: bool = False) -> dict:
     """Host-side dispatcher: pick the compaction pad and finalize.
 
     ``pad`` is a STATIC shape, so it is bucketed (8192 small / 1<<20 at
@@ -982,8 +1205,8 @@ def _finalize_chunk(out: dict, setup: SamplerSetup, cfg: Config) -> dict:
     bucket = 8192 if cap < (4 << 20) else (1 << 20)
     pad = max(bucket, -(-kept // bucket) * bucket)
     if pad >= cap:
-        return _finalize_jit(out, setup, cfg, None)
-    return _finalize_jit(out, setup, cfg, pad)
+        return _finalize_jit(out, setup, cfg, None, lean)
+    return _finalize_jit(out, setup, cfg, pad, lean)
 
 
 def _concat_chunks(chunks: list[dict]) -> dict:
@@ -1008,7 +1231,7 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
                      df_data: DeltafData, cfg: Config, laguerre: GaussLaguerre,
                      n_events: int, seed: int | None = None,
                      capacity: int | None = None, report=None,
-                     chunk_consumer=None):
+                     chunk_consumer=None, lean: bool = False):
     """Run the sampler; returns the raw per-hadron dict (device arrays).
 
     With ``chunk_consumer`` (a callable taking one finalized chunk dict),
@@ -1053,8 +1276,9 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
     setup = dataclasses.replace(_cast_f32_jit(setup), rates=rates64)
     species = _cast_f32_jit(species)
 
-    # per-cell species CDF: one campaign-level computation (see _species_cdf)
-    cdf_flat, cdf_bucket, cell_rate = _species_cdf_jit(setup.rates)
+    # per-hadron species-draw tables: one campaign-level host build
+    # (Walker alias, see _species_alias)
+    cdf_flat, cdf_bucket, cell_rate = _species_alias(setup.rates)
 
     # campaign mean from the CDF's per-cell total rate: the same reduction
     # off setup.rates directly is an emulated-f64 45M-lane pass (~5 s steady
@@ -1097,7 +1321,7 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
         while True:
             out = _sample_hadrons_jit(setup, species, mcid, cdf_flat,
                                       cdf_bucket, cell_rate, k, cfg,
-                                      cap, n_ev)
+                                      cap, n_ev, species_draw="alias")
             if not bool(out["overflow"]):
                 break
             # grow to the actual Poisson total (known exactly from the
@@ -1114,7 +1338,7 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
                                    f"(total {total})")
         if n_chunks > 1:
             out["event"] = out["event"] + ev0
-        fin = _finalize_chunk(out, setup, cfg)
+        fin = _finalize_chunk(out, setup, cfg, lean)
         fin["ev0"], fin["n_ev"] = ev0, n_ev
         return fin
 
@@ -1148,12 +1372,11 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
         def dispatch(c):
             ev0, n_ev = chunk_span(c)
             k = jax.random.fold_in(key, c)
-            out = _sample_hadrons_jit(setup, species, mcid, cdf_flat,
-                                      cdf_bucket, cell_rate, k, cfg,
-                                      capacity, n_ev)
-            out["event"] = out["event"] + ev0
-            fin = _finalize_jit(out, setup, cfg,
-                                pad if pad < capacity else None)
+            fin = _sample_finalize_jit(setup, species, mcid, cdf_flat,
+                                       cdf_bucket, cell_rate, k, cfg,
+                                       capacity, n_ev, ev0,
+                                       pad if pad < capacity else None,
+                                       lean, "alias")
             fin["ev0"], fin["n_ev"] = ev0, n_ev
             pending.append((c, fin))
 

@@ -263,11 +263,13 @@ class IS3D:
             sample_particles_meshed(self.surface, self.species,
                                     self.chosen_idx, self.df_data, cfg,
                                     self.laguerre, n_events, mesh,
-                                    report=report, chunk_consumer=consumer)
+                                    report=report, chunk_consumer=consumer,
+                                    lean=True)
         else:
             sample_particles(self.surface, self.species, self.chosen_idx,
                              self.df_data, cfg, self.laguerre, n_events,
-                             report=report, chunk_consumer=consumer)
+                             report=report, chunk_consumer=consumer,
+                             lean=True)
 
     def _mark_compute(self, t_start: float, what: str) -> None:
         dt = time.time() - t_start

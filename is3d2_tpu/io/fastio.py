@@ -66,10 +66,78 @@ def _get_lib():
             ctypes.POINTER(ctypes.c_longlong),
             ctypes.POINTER(ctypes.POINTER(ctypes.c_double)), ctypes.c_int,
             ctypes.c_longlong, ctypes.c_int]
+        lib.i3d_build_alias.restype = ctypes.c_longlong
+        lib.i3d_build_alias.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_longlong,
+            ctypes.c_longlong, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int]
         _lib = lib
     except OSError:
         _build_failed = True
     return _lib
+
+
+def _build_alias_numpy(r: np.ndarray):
+    """Vose alias construction vectorized ACROSS cells (the per-cell
+    small/large stack pairing is sequential, but every cell can take its
+    next pairing step in lockstep) -- the no-compiler fallback for
+    build_alias_tables."""
+    C, S = r.shape
+    p = np.clip(r, 0.0, None)
+    tot = p.sum(axis=1)
+    ok = tot > 0.0
+    p = p * (S / np.where(ok, tot, 1.0))[:, None]
+    p[~ok] = 1.0
+    prob = np.ones((C, S), np.float32)
+    alias = np.tile(np.arange(S, dtype=np.int32), (C, 1))
+
+    is_small = p < 1.0
+    ns = is_small.sum(axis=1).astype(np.int64)
+    order = np.argsort(~is_small, axis=1, kind="stable")
+    small = order.astype(np.int32)            # small[c, :ns[c]]
+    large = order[:, ::-1].astype(np.int32)   # large[c, :S-ns[c]]
+    nl = (S - ns).copy()
+    for _ in range(2 * S):
+        act = (ns > 0) & (nl > 0)
+        if not act.any():
+            break
+        c = np.flatnonzero(act)
+        s = small[c, ns[c] - 1]
+        l = large[c, nl[c] - 1]
+        ns[c] -= 1
+        nl[c] -= 1
+        prob[c, s] = p[c, s]
+        alias[c, s] = l
+        p[c, l] = (p[c, l] + p[c, s]) - 1.0
+        back = p[c, l] < 1.0
+        cs, ls = c[back], l[back]
+        small[cs, ns[cs]] = ls
+        ns[cs] += 1
+        cl, ll = c[~back], l[~back]
+        large[cl, nl[cl]] = ll
+        nl[cl] += 1
+    # stack leftovers keep their init (prob 1, alias self)
+    return prob, alias
+
+
+def build_alias_tables(rates: np.ndarray):
+    """Walker alias tables (prob f32, alias i32), both (C, S), from the
+    per-(cell, species) mean-yield matrix.  Native threaded builder
+    (csrc/is3d2_io.cpp i3d_build_alias) with a vectorized numpy fallback."""
+    r = np.ascontiguousarray(rates, dtype=np.float64)
+    C, S = r.shape
+    lib = _get_lib()
+    if lib is None:
+        return _build_alias_numpy(r)
+    prob = np.empty((C, S), np.float32)
+    alias = np.empty((C, S), np.int32)
+    n = lib.i3d_build_alias(
+        r.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), C, S,
+        prob.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        alias.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), 0)
+    if n != C * S:
+        return _build_alias_numpy(r)
+    return prob, alias
 
 
 def write_events_fast(path_pattern: str, header: str, sep: str,

@@ -102,7 +102,7 @@ def _prepare_meshed_campaign(surf, species_table, chosen_idx, df_data,
     import dataclasses
     import numpy as np
     from ..core.sampler import (prepare_sampler, _cast_f32_jit,
-                                _species_cdf_jit)
+                                _species_alias)
 
     if cfg.df_mode == 5:
         from ..core.sampler_famod import prepare_sampler_famod
@@ -115,7 +115,7 @@ def _prepare_meshed_campaign(surf, species_table, chosen_idx, df_data,
     rates64 = setup.rates
     setup = dataclasses.replace(_cast_f32_jit(setup), rates=rates64)
     species = _cast_f32_jit(species)
-    cdf_flat, cdf_bucket, cell_rate = _species_cdf_jit(setup.rates)
+    cdf_flat, cdf_bucket, cell_rate = _species_alias(setup.rates)
 
     y_max = cfg.y_cut if cfg.dimension == 2 else 0.5
     f32 = jnp.float32
@@ -160,12 +160,14 @@ def _prepare_meshed_campaign(surf, species_table, chosen_idx, df_data,
 # else in the chunk dict is either a psum'd scalar or a replicated table
 _HADRON_KEYS = ("keep", "event", "sp_idx", "cell_idx", "mass", "tau", "x",
                 "y", "eta", "t", "z", "E", "px", "py", "pz", "rapidity")
+_HADRON_KEYS_LEAN = ("keep", "event", "sp_idx", "cell_idx", "eta", "px",
+                     "py", "pz")
 
 
 def sample_particles_meshed(surf, species_table, chosen_idx, df_data,
                             cfg: Config, laguerre, n_events: int, mesh: Mesh,
                             seed: int | None = None, report=None,
-                            chunk_consumer=None):
+                            chunk_consumer=None, lean: bool = False):
     """Production op-2 particle-list campaign with the EVENT axis sharded
     over the mesh -- the multi-chip analog of the reference farming N
     sampler processes that each write their own event files
@@ -201,7 +203,7 @@ def sample_particles_meshed(surf, species_table, chosen_idx, df_data,
 
     def make_run(capacity, pad):
         out_specs = {}
-        for k in _HADRON_KEYS:
+        for k in (_HADRON_KEYS_LEAN if lean else _HADRON_KEYS):
             out_specs[k] = P(AX)
         for k in _SUM_KEYS + ("overflow", "pad_overrun", "mcid", "mass_tab",
                               "cell_tau", "cell_x", "cell_y"):
@@ -218,10 +220,12 @@ def sample_particles_meshed(surf, species_table, chosen_idx, df_data,
             k = jax.random.fold_in(key_l, dev)
             out = _sample_hadrons_jit(setup_l, species_l, mcid_l, cdf_flat_l,
                                       cdf_bucket_l, cell_rate_l, k, cfg,
-                                      capacity, nev_dev[0])
+                                      capacity, nev_dev[0],
+                                      species_draw="alias")
             overflow = out["overflow"]
             fin = _finalize_device(out, setup_l, cfg,
-                                   pad=pad if pad < capacity else None)
+                                   pad=pad if pad < capacity else None,
+                                   lean=lean)
             # device-local event ids -> global ids of this device's slice
             fin["event"] = fin["event"] + ev0_dev[0]
             fin["overflow"] = jax.lax.psum(
@@ -347,7 +351,7 @@ def sample_histograms_meshed(surf, species_table, chosen_idx, df_data,
     """
     import dataclasses
     import numpy as np
-    from ..core.sampler import prepare_sampler, _cast_f32_jit, _species_cdf_jit
+    from ..core.sampler import prepare_sampler, _cast_f32_jit, _species_alias
 
     if cfg.df_mode == 5:
         from ..core.sampler_famod import prepare_sampler_famod
@@ -360,7 +364,7 @@ def sample_histograms_meshed(surf, species_table, chosen_idx, df_data,
     rates64 = setup.rates
     setup = dataclasses.replace(_cast_f32_jit(setup), rates=rates64)
     species = _cast_f32_jit(species)
-    cdf_flat, cdf_bucket, cell_rate = _species_cdf_jit(setup.rates)
+    cdf_flat, cdf_bucket, cell_rate = _species_alias(setup.rates)
 
     y_max = cfg.y_cut if cfg.dimension == 2 else 0.5
     f32 = jnp.float32
@@ -396,7 +400,8 @@ def sample_histograms_meshed(surf, species_table, chosen_idx, df_data,
             k = jax.random.fold_in(key_l, dev)
             out = _sample_hadrons_jit(setup_l, species_l, mcid_l, cdf_flat_l,
                                       cdf_bucket_l, cell_rate_l, k, cfg,
-                                      capacity, n_ev_dev[0])
+                                      capacity, n_ev_dev[0],
+                                      species_draw="alias")
             out = _finalize_device(out, setup_l, cfg)
             hists = bin_histograms_device(out, S, cfg)
             hists["_overflow"] = out["overflow"].astype(jnp.int32)

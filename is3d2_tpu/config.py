@@ -84,7 +84,10 @@ class Config:
     lightest_particle: int = 111
 
     # --- TPU-framework extensions (not in the reference) ---
-    # compute dtype for the hot Cooper-Frye kernels: "f64" or "f32"
+    # compute dtype for the hot Cooper-Frye kernels: "f64" (accuracy
+    # path, <=1e-6 golden vs the C++ reference), "f32" (TPU speed path,
+    # ~3e-6), or "f32c" (compensated fast path: <=1e-6 at ~1.5x the f32
+    # cost -- 2+1d df 1/2 spectra; other engines fall back to f32)
     compute_dtype: str = "f64"
     # use the Pallas fused kernel where available (else pure-XLA path)
     use_pallas: bool = False
@@ -154,5 +157,5 @@ class Config:
             raise ValueError("dimension must be 2 or 3")
         if self.df_mode not in (1, 2, 3, 4, 5):
             raise ValueError("df_mode must be in 1..5")
-        if self.compute_dtype not in ("f32", "f64"):
-            raise ValueError("compute_dtype must be 'f32' or 'f64'")
+        if self.compute_dtype not in ("f32", "f64", "f32c"):
+            raise ValueError("compute_dtype must be 'f32', 'f64' or 'f32c'")

@@ -113,7 +113,7 @@ def compute_polarization(surf, species_table: SpeciesTable,
     delta_eta = float(grids.eta[1] - grids.eta[0]) if len(grids.eta) > 1 else 1.0
     from ..parallel.sharding import auto_mesh
     mesh = auto_mesh(cfg)
-    if mesh is not None and cfg.compute_dtype == "f32":
+    if mesh is not None and cfg.compute_dtype in ("f32", "f32c"):
         from ..parallel.sharding import sharded_polarization_fast
         acc = sharded_polarization_fast(cells, species, grid,
                                         float(plasma.temperature), cfg, mesh,
@@ -123,7 +123,7 @@ def compute_polarization(surf, species_table: SpeciesTable,
         acc = sharded_polarization(cells, species, grid,
                                    float(plasma.temperature), cfg, mesh,
                                    block=block, delta_eta=delta_eta)
-    elif cfg.compute_dtype == "f32":
+    elif cfg.compute_dtype in ("f32", "f32c"):
         from .polarization_fast import compute_polarization_fast
         acc = compute_polarization_fast(cells, species, grid,
                                         float(plasma.temperature), cfg,

@@ -265,7 +265,7 @@ def prepare_sampler(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
     args = (setup.cells, species, setup.breaks_down,
             setup.df_cols["bulkPi"], z, setup.df_cols["G"],
             setup.df_cols["F"], setup.df_cols["betabulk"], r1, w1, r2, w2)
-    if cfg.compute_dtype == "f32":
+    if cfg.compute_dtype in ("f32", "f32c"):
         f32 = jnp.float32
 
         def cast(tree):

@@ -156,7 +156,7 @@ def compute_dN_dX(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
     from ..parallel.sharding import auto_mesh
     mesh = auto_mesh(cfg)
 
-    fast = cfg.compute_dtype == "f32" and cfg.dimension == 2
+    fast = cfg.compute_dtype in ("f32", "f32c") and cfg.dimension == 2
     if cfg.df_mode in (1, 2):
         aux = df12_dX_cell_coefficients(cells, df_data, cfg)
         if fast and mesh is not None:

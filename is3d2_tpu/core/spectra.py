@@ -338,7 +338,24 @@ def compute_spectra(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
 
     if cfg.df_mode in (1, 2):
         coeffs = df12_cell_coefficients(cells, df_data, cfg)
-        if cfg.use_pallas and cfg.dimension == 2:
+        if cfg.compute_dtype == "f32c" and cfg.dimension == 2:
+            # compensated fast path: <=1e-6 (the BASELINE accuracy bar) at
+            # ~1.5x the f32 fast-path cost (spectra_fast.py "f32c" notes)
+            from .spectra_fast import compute_spectra_fast
+            if mesh is not None:
+                from ..parallel.sharding import sharded_spectra_fast
+                out = sharded_spectra_fast(cells, coeffs, species, grid,
+                                           cfg, mesh, block=block,
+                                           compute_dtype="f32c")
+            else:
+                S_count = len(chosen_idx)
+                n_sp_blocks = next(b for b in (8, 4, 2, 1)
+                                   if S_count % b == 0)
+                out = compute_spectra_fast(cells, coeffs, species, grid,
+                                           cfg, n_blocks=n_blocks,
+                                           compute_dtype="f32c",
+                                           n_species_blocks=n_sp_blocks)
+        elif cfg.use_pallas and cfg.dimension == 2:
             # fused Pallas kernel (f32 compute, f64 accumulation)
             from ..ops.spectra_fast_common import compute_spectra_pallas
             out = compute_spectra_pallas(cells, coeffs, species, grid, cfg)
@@ -350,7 +367,7 @@ def compute_spectra(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
             from ..parallel.sharding import sharded_spectra_fast
             out = sharded_spectra_fast(cells, coeffs, species, grid, cfg,
                                        mesh, block=block)
-        elif mesh is not None and cfg.compute_dtype == "f32":
+        elif mesh is not None and cfg.compute_dtype in ("f32", "f32c"):
             from ..parallel.sharding import sharded_spectra_fast_3d
             out = sharded_spectra_fast_3d(cells, coeffs, species, grid, cfg,
                                           mesh, block=block)
@@ -358,7 +375,7 @@ def compute_spectra(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
             from ..parallel.sharding import sharded_spectra
             out = sharded_spectra(cells, coeffs, species, grid, cfg, mesh,
                                   block=block)
-        elif cfg.compute_dtype == "f32":
+        elif cfg.compute_dtype in ("f32", "f32c"):
             # MXU-structured fast path (f32 compute, f64 accumulation)
             from .spectra_fast import compute_spectra_fast
             import jax.numpy as _jnp
@@ -381,12 +398,12 @@ def compute_spectra(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
             from ..ops.cooper_frye_feqmod_pallas import (
                 compute_spectra_feqmod_pallas)
             out = compute_spectra_feqmod_pallas(cells, fq, species, grid, cfg)
-        elif mesh is not None and cfg.compute_dtype == "f32" \
+        elif mesh is not None and cfg.compute_dtype in ("f32", "f32c") \
                 and cfg.dimension == 2:
             from ..parallel.sharding import sharded_spectra_feqmod_fast
             out = sharded_spectra_feqmod_fast(cells, fq, species, grid, cfg,
                                               mesh, block=block)
-        elif cfg.compute_dtype == "f32":
+        elif cfg.compute_dtype in ("f32", "f32c"):
             # quadratic-form FMA kernel (f32 compute, f64 accumulation)
             from .spectra_feqmod_fast import compute_spectra_feqmod_fast
             out = compute_spectra_feqmod_fast(cells, fq, species, grid, cfg,
@@ -409,12 +426,12 @@ def compute_spectra(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
             from ..ops.cooper_frye_feqmod_pallas import (
                 compute_spectra_feqmod_pallas)
             out = compute_spectra_feqmod_pallas(cells, fm, species, grid, cfg)
-        elif mesh is not None and cfg.compute_dtype == "f32" \
+        elif mesh is not None and cfg.compute_dtype in ("f32", "f32c") \
                 and cfg.dimension == 2:
             from ..parallel.sharding import sharded_spectra_feqmod_fast
             out = sharded_spectra_feqmod_fast(cells, fm, species, grid, cfg,
                                               mesh, block=block)
-        elif cfg.compute_dtype == "f32":
+        elif cfg.compute_dtype in ("f32", "f32c"):
             from .spectra_feqmod_fast import compute_spectra_feqmod_fast
             out = compute_spectra_feqmod_fast(cells, fm, species, grid, cfg,
                                               n_cell_blocks=n_blocks)

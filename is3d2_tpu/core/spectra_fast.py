@@ -455,6 +455,224 @@ def _spectra_fast_jit(per_cell: dict, mom, eta, eta_w, cfg: Config,
     return acc
 
 
+# ----------------------------------------------------------------------
+# compensated fast path ("f32c"): <= 1e-6 accuracy at fast-path speed
+# ----------------------------------------------------------------------
+#
+# The plain f32 fast path is ~3e-6 relative: the exp amplifies the f32
+# rounding of its argument a = u.p/T - alphaB b (|a| up to ~40, f32 ulp
+# 2^-24 |a| ~ 2.4e-6 absolute -> the same relative error on exp(a)).  The
+# compensated path computes ONLY that argument in exact-product split
+# arithmetic -- everything else (p.dsigma, pi pp, the delta-f chain) stays
+# plain f32, whose ~1e-7 LINEAR noise is harmless:
+#
+#   * every f64 factor splits into (hi, lo) with hi carrying 12 significant
+#     bits, so every hi*hi product is EXACT in f32 (12+12 <= 24-bit
+#     mantissa), and the cross terms hi*lo + lo*full carry the rest;
+#   * the main terms sum through branchless Knuth TwoSum chains (error-free
+#     at each step), the small parts accumulate separately;
+#   * one final TwoSum renormalizes to A + r with |r| <= ulp(A), and
+#     exp(a) = exp(A) * (1 + r) to ~(ulp)^2.
+#
+# Residual error: the f32 exp intrinsic (~1 ulp, 6e-8 relative) plus ~1e-7
+# linear f32 noise -- validated <= 1e-6 vs the f64 broadcast kernel
+# (tests/test_spectra_fast.py::test_compensated_accuracy), at ~1.5x the
+# plain-f32 cost (~45 extra VPU flops on an ~80-flop chain).  This is the
+# path that meets the BASELINE accuracy bar (<=1e-6) and the speed bar at
+# once; select with compute_dtype = "f32c".  2+1d df 1/2 (the north-star
+# spectra stage); other engines keep the dual-bar (f32 fast / f64 exact)
+# reporting.
+
+
+def _two_sum(x, y):
+    """Branchless Knuth TwoSum: s + err == x + y exactly (6 flops)."""
+    s = x + y
+    b = s - x
+    return s, (x - (s - b)) + (y - b)
+
+
+def _split12(x64):
+    """Split f64 -> (hi, lo) f32 with hi carrying 12 significant bits, so
+    products of two hi parts are exact in f32."""
+    h = x64.astype(jnp.float32)
+    hi = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(h, jnp.uint32)
+        & jnp.uint32(0xFFFFF000), jnp.float32)
+    lo = (x64 - hi.astype(jnp.float64)).astype(jnp.float32)
+    return hi, lo
+
+
+def momentum_matrix_comp(species: SpeciesArrays, grid: MomentumGridDevice):
+    """Split f64 momentum rows for the compensated argument + plain f32
+    rows for the linear pieces (m = species x pT x phi)."""
+    mT64 = jnp.sqrt(species.mass[:, None].astype(jnp.float64) ** 2
+                    + grid.pT[None, :].astype(jnp.float64) ** 2)
+    S, NpT = mT64.shape
+    Nphi = grid.cos_phi.shape[0]
+    M = S * NpT * Nphi
+
+    def flat(a):
+        return jnp.broadcast_to(a, (S, NpT, Nphi)).reshape(M)
+
+    mT64 = flat(mT64[:, :, None])
+    px64 = flat((grid.pT[:, None] * grid.cos_phi[None, :]
+                 ).astype(jnp.float64)[None])
+    py64 = flat((grid.pT[:, None] * grid.sin_phi[None, :]
+                 ).astype(jnp.float64)[None])
+    mT1, mT2 = _split12(mT64)
+    px1, px2 = _split12(px64)
+    py1, py2 = _split12(py64)
+    f32 = jnp.float32
+    return {
+        "mT1": mT1, "mT2": mT2, "mTf": mT64.astype(f32),
+        "px1": px1, "px2": px2, "pxf": px64.astype(f32),
+        "py1": py1, "py2": py2, "pyf": py64.astype(f32),
+        "mass2": flat((species.mass ** 2)[:, None, None]).astype(f32),
+        "b": flat(species.baryon[:, None, None]).astype(f32),
+        "sgn": flat(species.sign[:, None, None]).astype(f32),
+    }
+
+
+def _cell_Q_comp(cells: CellArrays, coeffs: dict, eta64):
+    """Plain f32 per-cell rows (_cell_Q) plus the compensated-argument
+    pieces: per-(eta, cell) split coefficients of the mT row of u.p/T (the
+    eta hyperbolics fold into the CELL coefficient, so the hot contraction
+    has K = 3 exact products), split px/py coefficients, and the split
+    alphaB.  All f64 prep here is (cells,)- or (eta, cells)-sized."""
+    base = _cell_Q(cells, coeffs, jnp.float32)
+    c = cells
+    invT = 1.0 / c.T.astype(jnp.float64)
+    cosh_e = jnp.cosh(eta64)[:, None]                  # (Ne, 1)
+    sinh_e = (-jnp.sinh(eta64))[:, None]               # y = 0: Delta = -eta
+    # E/T coefficient of mT: (ut cosh_e - tau un sinh_e) / T  (see _cell_Q)
+    qm64 = (c.ut.astype(jnp.float64)[None, :] * cosh_e
+            - (c.tau * c.un).astype(jnp.float64)[None, :] * sinh_e) \
+        * invT[None, :]
+    qm1, qm2 = _split12(qm64)                          # (Ne, C)
+    qx1, qx2 = _split12(-c.ux.astype(jnp.float64) * invT)
+    qy1, qy2 = _split12(-c.uy.astype(jnp.float64) * invT)
+    abf, abl = _split12(c.alphaB.astype(jnp.float64))
+    base.update(qx1=qx1, qx2=qx2, qy1=qy1, qy2=qy2, abf=abf, abl=abl,
+                Tf=c.T.astype(jnp.float32))
+    return base, qm1, qm2
+
+
+def _block_fast_comp(q: dict, qm1_b, qm2_b, mom: dict, eta, eta_w,
+                     cfg: Config, acc_dtype):
+    """One cell block of the compensated kernel: the exp argument in
+    split-exact arithmetic, everything else the plain f32 chain of
+    _value_at_eta."""
+    mTf = mom["mTf"]
+    M = mTf.shape[0]
+    b_m = mom["b"]
+    sgn_m = mom["sgn"]
+    mass2_m = mom["mass2"]
+
+    def one_eta(carry, xs):
+        acc = carry
+        cosh_e, sinh_e, w_e, qm1, qm2 = xs
+        # ---- compensated argument a = u.p/T - alphaB b ----
+        t1 = qm1[:, None] * mom["mT1"][None, :]        # exact products
+        t2 = q["qx1"][:, None] * mom["px1"][None, :]
+        t3 = q["qy1"][:, None] * mom["py1"][None, :]
+        t4 = -(q["abf"][:, None] * b_m[None, :])       # b in {-1,0,1}: exact
+        # cross/low corrections: qm*mT = t1 + qm1*mT2 + qm2*mTf (+O(2^-36))
+        d = (qm1[:, None] * mom["mT2"][None, :]
+             + qm2[:, None] * mTf[None, :]
+             + q["qx1"][:, None] * mom["px2"][None, :]
+             + q["qx2"][:, None] * mom["pxf"][None, :]
+             + q["qy1"][:, None] * mom["py2"][None, :]
+             + q["qy2"][:, None] * mom["pyf"][None, :]
+             - q["abl"][:, None] * b_m[None, :])
+        s, e1 = _two_sum(t1, t2)
+        s, e2 = _two_sum(s, t3)
+        s, e3 = _two_sum(s, t4)
+        A, r = _two_sum(s, d + (e1 + e2 + e3))
+        eA = jnp.exp(A)
+        feq = 1.0 / (eA * (1.0 + r) + sgn_m[None, :])
+        feqbar = 1.0 - sgn_m[None, :] * feq
+        # E in GeV for the linear delta-f pieces (f32 accuracy suffices)
+        E = (A + q["abf"][:, None] * b_m[None, :]) * q["Tf"][:, None]
+
+        # ---- plain f32 linear pieces (as _value_at_eta) ----
+        P = [mTf * cosh_e, mom["pxf"], mom["pyf"], mTf * sinh_e]
+        pdd = _contract(q["Q_d"], P)
+        if cfg.include_shear_deltaf:
+            PP = [P[0] * P[0], P[1] * P[1], P[2] * P[2], P[3] * P[3],
+                  P[0] * P[1], P[0] * P[2], P[0] * P[3],
+                  P[1] * P[2], P[1] * P[3], P[2] * P[3]]
+            pim = _contract(q["Q_pi"], PP)
+        else:
+            pim = 0.0
+        if cfg.include_baryon and cfg.include_baryondiff_deltaf:
+            Vp = _contract(q["Q_V"], P)
+        else:
+            Vp = 0.0
+
+        if cfg.df_mode == 1:
+            df = (q["shear"][:, None] * pim
+                  + q["bulk0"][:, None] * mass2_m[None, :]
+                  + (q["bulk1"][:, None] * b_m[None, :]
+                     + q["bulk2"][:, None] * E) * E)
+            if cfg.include_baryon and cfg.include_baryondiff_deltaf:
+                df = df + (q["diff0"][:, None] * b_m[None, :]
+                           + q["diff1"][:, None] * E) * Vp
+        else:
+            df = (q["shear"][:, None] * pim / E
+                  + q["bulk0"][:, None] * E
+                  + q["bulk1"][:, None] * b_m[None, :]
+                  + q["bulk2"][:, None] * (E - mass2_m[None, :] / E))
+            if cfg.include_baryon and cfg.include_baryondiff_deltaf:
+                df = df + (q["diff0"][:, None]
+                           - q["diff1"][:, None] * b_m[None, :] / E) * Vp
+        df = feqbar * df
+        if cfg.regulate_deltaf:
+            df = jnp.clip(df, -1.0, 1.0)
+        if cfg.outflow:
+            pdd = jnp.where(pdd > 0.0, pdd, 0.0)
+
+        value = pdd * (feq * (1.0 + df))
+        partial = jnp.sum(q["mask"][:, None] * value, axis=0)
+        return acc + (w_e * partial).astype(acc_dtype), None
+
+    f32 = jnp.float32
+    cosh = jnp.cosh(eta).astype(f32)
+    sinh = (-jnp.sinh(eta)).astype(f32)
+    acc0 = jnp.zeros(M, dtype=acc_dtype)
+    acc, _ = jax.lax.scan(one_eta, acc0,
+                          (cosh, sinh, eta_w.astype(acc_dtype),
+                           qm1_b, qm2_b))
+    return acc
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_blocks", "n_m_blocks"))
+def _spectra_fast_comp_jit(per_cell: dict, qm1, qm2, mom: dict, eta, eta_w,
+                           cfg: Config, n_blocks: int, n_m_blocks: int):
+    C_total = per_cell["invT"].shape[0]
+    blk = C_total // n_blocks
+    M = mom["mTf"].shape[0]
+    m_blk = M // n_m_blocks
+
+    def body(acc, ij):
+        i = ij // n_m_blocks
+        j = ij % n_m_blocks
+        q = {k: jax.lax.dynamic_slice_in_dim(v, i * blk, blk, 0)
+             for k, v in per_cell.items()}
+        qm1_b = jax.lax.dynamic_slice_in_dim(qm1, i * blk, blk, 1)
+        qm2_b = jax.lax.dynamic_slice_in_dim(qm2, i * blk, blk, 1)
+        mom_j = {k: jax.lax.dynamic_slice_in_dim(v, j * m_blk, m_blk, 0)
+                 for k, v in mom.items()}
+        part = _block_fast_comp(q, qm1_b, qm2_b, mom_j, eta, eta_w, cfg,
+                                jnp.float64)
+        return jax.lax.dynamic_update_slice(
+            acc, jax.lax.dynamic_slice(acc, (j * m_blk,), (m_blk,)) + part,
+            (j * m_blk,)), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros(M, dtype=jnp.float64),
+                          jnp.arange(n_blocks * n_m_blocks))
+    return acc
+
+
 def compute_spectra_fast(cells: CellArrays, coeffs: dict,
                          species: SpeciesArrays, grid: MomentumGridDevice,
                          cfg: Config, n_blocks: int,
@@ -478,6 +696,19 @@ def compute_spectra_fast(cells: CellArrays, coeffs: dict,
         raise ValueError("n_species_blocks must divide the species count")
     NpT = grid.pT.shape[0]
     Nphi = grid.cos_phi.shape[0]
+
+    if compute_dtype == "f32c":
+        if cfg.dimension != 2:
+            raise ValueError("the compensated (f32c) path implements 2+1d")
+        eta64 = grid.eta.astype(jnp.float64)
+        per_cell, qm1, qm2 = _cell_Q_comp(cells, coeffs, eta64)
+        mom = momentum_matrix_comp(species, grid)
+        flat = _spectra_fast_comp_jit(per_cell, qm1, qm2, mom, eta64,
+                                      grid.eta_weight, cfg, n_blocks,
+                                      n_species_blocks)
+        out = flat.reshape(S, NpT, Nphi, 1)
+        return (PREFACTOR * species.degeneracy.astype(out.dtype)
+                [:, None, None, None] * out)
 
     if cfg.dimension == 2:
         per_cell = _cell_Q(cells, coeffs, compute_dtype)

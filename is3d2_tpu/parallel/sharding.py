@@ -114,9 +114,6 @@ def sharded_spectra_fast(cells: CellArrays, coeffs: dict,
     cells, coeffs = pad_cells_for_mesh(cells, coeffs, n_cell_shards, block)
     species = pad_species(species, n_sp_shards)
 
-    per_cell = _cell_Q(cells, coeffs, compute_dtype)
-    mom = momentum_matrix(species, grid, compute_dtype)
-
     local_cells = cells.n_padded // n_cell_shards
     n_blocks = max(local_cells // min(block, local_cells), 1)
 
@@ -125,6 +122,40 @@ def sharded_spectra_fast(cells: CellArrays, coeffs: dict,
     Nphi = grid.cos_phi.shape[0]
     # the flat m axis is (S, NpT*Nphi); shard over the species-major axis
     M_per_sp = NpT * Nphi
+
+    if compute_dtype == "f32c":
+        # compensated fast path (spectra_fast.py "f32c" notes): the split
+        # argument pieces shard over cells (qm1/qm2 carry the eta axis
+        # first, cells second), the split momentum rows over species
+        from ..core.spectra_fast import (_cell_Q_comp, momentum_matrix_comp,
+                                         _spectra_fast_comp_jit)
+        eta64 = grid.eta.astype(jnp.float64)
+        per_cell, qm1, qm2 = _cell_Q_comp(cells, coeffs, eta64)
+        mom = {k: v.reshape(S, M_per_sp)
+               for k, v in momentum_matrix_comp(species, grid).items()}
+
+        pc_spec = {k: P("cells") for k in per_cell}
+        mom_spec = {k: P("species") for k in mom}
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(pc_spec, P(None, "cells"), P(None, "cells"),
+                           mom_spec, P(), P()),
+                 out_specs=P("species"), check_vma=False)
+        def run_c(per_cell_l, qm1_l, qm2_l, mom_l, eta_l, eta_w_l):
+            mom_flat = {k: v.reshape(-1) for k, v in mom_l.items()}
+            flat = _spectra_fast_comp_jit(per_cell_l, qm1_l, qm2_l,
+                                          mom_flat, eta_l, eta_w_l, cfg,
+                                          n_blocks, 1)
+            flat = jax.lax.psum(flat, axis_name="cells")
+            return flat.reshape(-1, NpT, Nphi, 1)
+
+        out = run_c(per_cell, qm1, qm2, mom, eta64, grid.eta_weight)
+        out = PREFACTOR * species.degeneracy.astype(out.dtype)[
+            :, None, None, None] * out
+        return out[:S0]
+
+    per_cell = _cell_Q(cells, coeffs, compute_dtype)
+    mom = momentum_matrix(species, grid, compute_dtype)
 
     mom_2d = tuple(a.reshape(S, M_per_sp) for a in mom)
 

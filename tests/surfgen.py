@@ -18,7 +18,8 @@ from is3d2_tpu.io.surface import SurfaceData
 
 def make_surface(n_cells: int, seed: int = 0, dimension: int = 2,
                  include_baryon: bool = False, vorticity: bool = False,
-                 shear_scale: float = 0.02, bulk_scale: float = 0.01) -> SurfaceData:
+                 shear_scale: float = 0.02, bulk_scale: float = 0.01,
+                 flow_scale: float = 1.0) -> SurfaceData:
     rng = np.random.default_rng(seed)
     s = SurfaceData.zeros(n_cells)
     s.tau = rng.uniform(1.0, 10.0, n_cells)
@@ -32,8 +33,8 @@ def make_surface(n_cells: int, seed: int = 0, dimension: int = 2,
     s.day = rng.uniform(-0.1, 0.1, n_cells)
     s.dan = np.zeros(n_cells) if dimension == 2 else rng.uniform(-0.02, 0.02, n_cells)
 
-    s.ux = rng.uniform(-1.0, 1.0, n_cells)
-    s.uy = rng.uniform(-1.0, 1.0, n_cells)
+    s.ux = rng.uniform(-1.0, 1.0, n_cells) * flow_scale
+    s.uy = rng.uniform(-1.0, 1.0, n_cells) * flow_scale
     s.un = np.zeros(n_cells) if dimension == 2 else rng.uniform(-0.05, 0.05, n_cells)
 
     s.T = rng.uniform(0.145, 0.165, n_cells)     # GeV, inside table range

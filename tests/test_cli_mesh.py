@@ -50,6 +50,21 @@ def test_driver_spectra_mesh_matches_single(reference_dir, tmp_path, df_mode):
     assert np.max(np.abs(meshed - single)) <= 1e-10 * scale
 
 
+def test_driver_spectra_mesh_f32c(reference_dir, tmp_path):
+    """Compensated fast path (f32c) through the mesh: sharded_spectra_fast's
+    compensated branch must match the single-device f32c kernel to f64
+    reduction-reordering."""
+    wd = _workdir(tmp_path, {"operation": 1, "df_mode": 1, "hrg_eos": 3})
+    base = Config(operation=1, df_mode=1, hrg_eos=3, cell_block=64,
+                  compute_dtype="f32c", include_shear_deltaf=1,
+                  include_bulk_deltaf=1)
+    single = _run(wd, dataclasses.replace(base, use_mesh=0)).spectra
+    meshed = _run(wd, dataclasses.replace(base, use_mesh=1)).spectra
+    assert meshed.shape == single.shape
+    scale = np.abs(single).max()
+    assert np.max(np.abs(meshed - single)) <= 1e-10 * scale
+
+
 def test_driver_spectra_mesh_f64(reference_dir, tmp_path):
     wd = _workdir(tmp_path, {"operation": 1, "df_mode": 1, "hrg_eos": 3})
     base = Config(operation=1, df_mode=1, hrg_eos=3, cell_block=64,

@@ -5,6 +5,7 @@ synthetic surface; our engine must reproduce dN/(pT dpT dphi dy) to 1e-6
 relative accuracy (BASELINE.md accuracy bar).
 """
 
+import dataclasses
 import sys
 from pathlib import Path
 
@@ -84,3 +85,13 @@ def test_spectra_df12_vs_oracle(golden_env, df_mode, regulate, outflow):
     # only judge points that aren't vanishingly small
     sig = np.abs(ref) > 1e-10 * scale
     assert err[sig].max() < 1e-6, f"max rel err {err[sig].max():.3e}"
+
+    # the compensated fast path must ALSO meet the 1e-6 bar directly
+    # against the compiled C++ reference (the dual-bar path: BASELINE's
+    # accuracy bar at fast-path-class speed, VERDICT r3 item 3)
+    cfg_c = dataclasses.replace(cfg, compute_dtype="f32c")
+    ours_c = compute_spectra(surf, species, chosen, grids, df_data, cfg_c,
+                             laguerre)
+    err_c = np.abs(ours_c - ref) / np.maximum(np.abs(ref), 1e-12 * scale)
+    assert err_c[sig].max() < 1e-6, \
+        f"f32c max rel err {err_c[sig].max():.3e}"

@@ -66,27 +66,73 @@ def _pad_cells_to(c: CellArrays, n_max: int) -> CellArrays:
     return CellArrays(**fields)
 
 
-def stack_surfaces(surfs, cfg: Config, block: int):
+def stack_surfaces(surfs, cfg: Config, block: int,
+                   n_cells_pad: int | None = None):
     """Pad every surface to the max padded cell count; returns the stacked
-    CellArrays plus the per-surface padded ones (for per-surface prep)."""
+    CellArrays plus the per-surface padded ones (for per-surface prep).
+
+    ``n_cells_pad`` raises the common cell count to at least that value, so
+    chunked ensembles (every chunk padded to the GLOBAL max) reuse one
+    compiled program across chunks."""
     all_cells = [prepare_cells(s, cfg, block=block) for s in surfs]
     n_max = max(c.n_padded for c in all_cells)
+    if n_cells_pad is not None:
+        n_max = max(n_max, n_cells_pad)
     padded = [_pad_cells_to(c, n_max) for c in all_cells]
     return _stack(padded), padded
+
+
+def _chunk_plan(surfs, surface_chunk, cfg: Config, block: int,
+                mesh: Mesh | None):
+    """Split ``surfs`` into fixed-size chunks of ``surface_chunk`` (the last
+    chunk padded by repeating its final surface, dropped from the results)
+    and the global padded cell count every chunk pads to.  Returns
+    (chunks, n_real_per_chunk, n_cells_pad)."""
+    if mesh is not None and surface_chunk % mesh.devices.size != 0:
+        raise ValueError(
+            f"surface_chunk={surface_chunk} must be a multiple of the mesh "
+            f"device count {mesh.devices.size}")
+    n_cells_pad = max(prepare_cells(s, cfg, block=block).n_padded
+                      for s in surfs)
+    chunks, n_real = [], []
+    for i in range(0, len(surfs), surface_chunk):
+        chunk = list(surfs[i:i + surface_chunk])
+        n_real.append(len(chunk))
+        chunk.extend(chunk[-1:] * (surface_chunk - len(chunk)))
+        chunks.append(chunk)
+    return chunks, n_real, n_cells_pad
 
 
 def compute_spectra_ensemble(surfs, species_table: SpeciesTable, chosen_idx,
                              grids: MomentumGrids, df_data: DeltafData,
                              cfg: Config, laguerre: GaussLaguerre | None = None,
                              cell_block: int | None = None,
-                             mesh: Mesh | None = None) -> np.ndarray:
+                             mesh: Mesh | None = None,
+                             surface_chunk: int | None = None,
+                             _n_cells_pad: int | None = None) -> np.ndarray:
     """Continuous spectra for a list of surfaces at once, df modes 1-4.
 
     Returns (n_surfaces, S, NpT, Nphi, Ny).  With ``mesh`` (a 1-axis
     "surfaces" mesh), the surface axis is sharded across devices; n_surfaces
     must be divisible by the device count.
+
+    ``surface_chunk`` bounds device memory for big ensembles (the BASELINE
+    stretch config is 1000 surfaces; the reference just loops whole
+    binaries, scripts/oversample.sh:1-15): surfaces are processed K at a
+    time, each chunk padded to the global cell count (ONE compiled program
+    serves every chunk) with results streamed to host between chunks.
+    Device memory is then bounded by K surfaces regardless of ensemble
+    size.  With ``mesh``, K must be a multiple of the device count.
     """
     block = cell_block or cfg.cell_block
+    if surface_chunk is not None and surface_chunk < len(surfs):
+        chunks, n_real, n_pad = _chunk_plan(surfs, surface_chunk, cfg, block,
+                                            mesh)
+        return np.concatenate([
+            compute_spectra_ensemble(ch, species_table, chosen_idx, grids,
+                                     df_data, cfg, laguerre, cell_block,
+                                     mesh, None, n_pad)[:k]
+            for ch, k in zip(chunks, n_real)], axis=0)
     if cfg.df_mode == 5:
         # famod reads the shear tensor and bulk pressure unconditionally
         # (pl/pt reconstruction, MomentumSpectra.cpp:1192-1204)
@@ -94,7 +140,7 @@ def compute_spectra_ensemble(surfs, species_table: SpeciesTable, chosen_idx,
                                         include_bulk_deltaf=1)
     else:
         cells_cfg = cfg
-    cells, per_surf = stack_surfaces(surfs, cells_cfg, block)
+    cells, per_surf = stack_surfaces(surfs, cells_cfg, block, _n_cells_pad)
     n_padded = cells.tau.shape[1]
     n_blocks = max(n_padded // min(block, n_padded), 1)
 
@@ -142,12 +188,15 @@ def compute_spectra_ensemble(surfs, species_table: SpeciesTable, chosen_idx,
 def prepare_sampler_ensemble(surfs, species_table: SpeciesTable, chosen_idx,
                              df_data: DeltafData, cfg: Config,
                              laguerre: GaussLaguerre,
-                             cell_block: int | None = None):
+                             cell_block: int | None = None,
+                             n_cells_pad: int | None = None):
     """Per-surface sampler prep (each surface gets its own thermo-averaged
     fast-mode densities, as each reference run would), stacked on the
     leading surface axis."""
     block = cell_block or cfg.cell_block
     n_max = max(prepare_cells(s, cfg, block=block).n_padded for s in surfs)
+    if n_cells_pad is not None:
+        n_max = max(n_max, n_cells_pad)
 
     setups = []
     species = None
@@ -175,22 +224,47 @@ def sample_ensemble_histograms(surfs, species_table: SpeciesTable, chosen_idx,
                                events_per_surface: int, capacity: int,
                                seed: int = 1,
                                cell_block: int | None = None,
-                               mesh: Mesh | None = None):
+                               mesh: Mesh | None = None,
+                               surface_chunk: int | None = None,
+                               _surf_offset: int = 0,
+                               _n_cells_pad: int | None = None):
     """MC-sample every surface (independent fold_in'd RNG streams) and bin
     per-surface test histograms -- the whole oversampling campaign of
     scripts/oversample.sh as ONE device program.
 
     Returns (histogram dict with leading surface axis, overflow flags).
     With ``mesh``, the surface axis is sharded across the devices.
+
+    ``surface_chunk`` bounds device memory (see compute_spectra_ensemble):
+    K surfaces sample at a time, every chunk padded to the global cell
+    count so one compiled program serves all chunks, histograms streamed to
+    host between chunks.  Each surface's RNG stream is fold_in'd with its
+    GLOBAL index, so results are bitwise independent of the chunking.
     """
+    if surface_chunk is not None and surface_chunk < len(surfs):
+        block = cell_block or cfg.cell_block
+        chunks, n_real, n_pad = _chunk_plan(surfs, surface_chunk, cfg, block,
+                                            mesh)
+        hists_l, overflow_l = [], []
+        for ci, (ch, k) in enumerate(zip(chunks, n_real)):
+            h, ov = sample_ensemble_histograms(
+                ch, species_table, chosen_idx, df_data, cfg, laguerre,
+                events_per_surface, capacity, seed, cell_block, mesh,
+                None, _surf_offset + ci * surface_chunk, n_pad)
+            hists_l.append(jax.tree_util.tree_map(lambda a: a[:k], h))
+            overflow_l.append(ov[:k])
+        hists = jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs, axis=0), *hists_l)
+        return hists, np.concatenate(overflow_l, axis=0)
     setups, species = prepare_sampler_ensemble(surfs, species_table,
                                                chosen_idx, df_data, cfg,
-                                               laguerre, cell_block)
+                                               laguerre, cell_block,
+                                               _n_cells_pad)
     mcid = jnp.asarray(species_table.mc_id[np.asarray(chosen_idx)])
     S = len(chosen_idx)
     n_surf = len(surfs)
     keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.PRNGKey(seed), i)
-                    )(jnp.arange(n_surf))
+                    )(_surf_offset + jnp.arange(n_surf))
 
     f32 = jnp.float32
 

@@ -215,3 +215,74 @@ def test_ensemble_sampler_histograms(reference_dir):
     # same per-surface streams -> identical histograms sharded or not
     np.testing.assert_allclose(np.asarray(hists_s["dN_dy"]),
                                np.asarray(hists["dN_dy"]), rtol=1e-12)
+
+def test_ensemble_chunked_matches_unchunked(reference_dir):
+    """surface_chunk bounds device memory (VERDICT r3 item 5: the stretch
+    config is 1000 surfaces; stacking all of them is O(250 GB) HBM).
+    Chunked spectra match the one-shot stack exactly (padding to the global
+    cell count appends masked zero cells only), including a ragged last
+    chunk, and chunked sampling is bitwise-identical because each surface's
+    RNG stream is fold_in'd with its GLOBAL index."""
+    from is3d2_tpu.io.tables import GaussLaguerre
+    from is3d2_tpu.core.ensemble import sample_ensemble_histograms
+
+    species = read_pdg(3, reference_dir / "PDG")
+    grids = MomentumGrids.from_dir(reference_dir / "tables")
+    laguerre = GaussLaguerre.from_file(
+        reference_dir / "tables/gauss/gla_roots_weights.txt")
+    tables = DeltafTables.load(3, include_baryon=False,
+                               base_dir=reference_dir / "deltaf_coefficients/vh")
+    cfg = Config(df_mode=1, hrg_eos=3, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, cell_block=16)
+    df_data = DeltafData(tables, 1, include_baryon=False)
+    chosen = species.chosen_indices(PIKP)
+
+    # ragged sizes + ragged final chunk (5 surfaces, chunks of 2)
+    surfs = [make_surface(16 + 8 * (i % 3), seed=800 + i) for i in range(5)]
+    plain = compute_spectra_ensemble(surfs, species, chosen, grids, df_data,
+                                     cfg)
+    chunked = compute_spectra_ensemble(surfs, species, chosen, grids, df_data,
+                                       cfg, surface_chunk=2)
+    np.testing.assert_array_equal(chunked, plain)
+
+    cfg2 = Config(operation=2, df_mode=1, hrg_eos=3, include_shear_deltaf=1,
+                  include_bulk_deltaf=1, fast=1, y_cut=5.0, cell_block=16)
+    kw = dict(events_per_surface=40, capacity=16384, seed=21)
+    h_plain, ov_plain = sample_ensemble_histograms(
+        surfs, species, chosen, df_data, cfg2, laguerre, **kw)
+    h_chunk, ov_chunk = sample_ensemble_histograms(
+        surfs, species, chosen, df_data, cfg2, laguerre, surface_chunk=2,
+        **kw)
+    assert not ov_plain.any() and not ov_chunk.any()
+    for k in h_plain:
+        np.testing.assert_array_equal(np.asarray(h_chunk[k]),
+                                      np.asarray(h_plain[k]))
+
+
+def test_ensemble_chunked_sharded(reference_dir):
+    """Chunked + meshed: each chunk's surface axis shards over the devices;
+    chunk size must be a multiple of the device count."""
+    import jax
+    import pytest
+    from jax.sharding import Mesh
+
+    species = read_pdg(3, reference_dir / "PDG")
+    grids = MomentumGrids.from_dir(reference_dir / "tables")
+    tables = DeltafTables.load(3, include_baryon=False,
+                               base_dir=reference_dir / "deltaf_coefficients/vh")
+    cfg = Config(df_mode=1, hrg_eos=3, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, cell_block=16)
+    df_data = DeltafData(tables, 1, include_baryon=False)
+    chosen = species.chosen_indices(PIKP)
+
+    surfs = [make_surface(16, seed=900 + i) for i in range(12)]
+    mesh = Mesh(np.array(jax.devices()), axis_names=("surfaces",))
+    plain = compute_spectra_ensemble(surfs, species, chosen, grids, df_data,
+                                     cfg)
+    chunked = compute_spectra_ensemble(surfs, species, chosen, grids, df_data,
+                                       cfg, mesh=mesh, surface_chunk=8)
+    np.testing.assert_allclose(chunked, plain, rtol=1e-12, atol=1e-300)
+
+    with pytest.raises(ValueError, match="multiple of the mesh"):
+        compute_spectra_ensemble(surfs, species, chosen, grids, df_data,
+                                 cfg, mesh=mesh, surface_chunk=6)

@@ -56,8 +56,33 @@ from ..config import Config
 from .spectra_fast_common import pack_inputs  # noqa: F401  (re-export helper)
 
 
+def _bf16_round(x):
+    """Round f32 -> bf16 -> f32 (what a DEFAULT-precision MXU pass does to
+    its inputs), used to build exact-split operands."""
+    return x.astype(jnp.bfloat16).astype(jnp.float32)
+
+
+def _dot3(A_h, A_l, B_h, B_l):
+    """Ozaki-style 3-pass f32 dot from DEFAULT (1-pass bf16) MXU dots.
+
+    A = A_h + A_l with A_h = bf16(A) (so A_h*B_h is computed exactly by a
+    DEFAULT pass), |A_l| <= 2^-9 |A|.  The dropped A_l*B_l term and the
+    bf16 rounding of the correction passes are both O(2^-18 |A||B|) --
+    half the passes of Precision.HIGHEST (which Mosaic CAN lower, unlike
+    HIGH) at ~30x the DEFAULT error.  Used for the LINEAR contractions
+    (p.dsigma, pi pp, V.p) where 4e-6-class relative error stays ~4e-6 in
+    the spectra; the exp argument (u.p) keeps HIGHEST, as the exp
+    amplifies absolute error in its argument.
+    """
+    f32 = jnp.float32
+    return (jnp.dot(A_h, B_h, preferred_element_type=f32)
+            + jnp.dot(A_h, B_l, preferred_element_type=f32)
+            + jnp.dot(A_l, B_h, preferred_element_type=f32))
+
+
 def _kernel(q_ref, cols_ref, mom_ref, eta_ref, out_ref, *, cfg: Config,
-            n_eta: int, precision=jax.lax.Precision.HIGHEST):
+            n_eta: int, precision=jax.lax.Precision.HIGHEST,
+            dot_impl: str = "highest"):
     """q_ref: (C_t, 64) stacked [Q_E(16) | Q_d(16) | Q_pi(16) | Q_V(16)]
     cols_ref: (C_t, 16) per-cell scalars
       [invT, alphaB, shear, bulk0, bulk1, bulk2, diff0, diff1, mask, ...]
@@ -93,6 +118,16 @@ def _kernel(q_ref, cols_ref, mom_ref, eta_ref, out_ref, *, cfg: Config,
     Q_pi = q_ref[:, 32:48]
     Q_V = q_ref[:, 48:64]
 
+    split = dot_impl == "split"
+    if split:
+        # per-program (eta-invariant) operand splits for the linear dots
+        Q_d_h = _bf16_round(Q_d)
+        Q_d_l = Q_d - Q_d_h
+        Q_pi_h = _bf16_round(Q_pi)
+        Q_pi_l = Q_pi - Q_pi_h
+        Q_V_h = _bf16_round(Q_V)
+        Q_V_l = Q_V - Q_V_h
+
     zeros_row = jnp.zeros((1, M_t), f32)
 
     def eta_body(e, acc):
@@ -111,18 +146,31 @@ def _kernel(q_ref, cols_ref, mom_ref, eta_ref, out_ref, *, cfg: Config,
 
         E = jnp.dot(Q_E, P16, preferred_element_type=f32,
                     precision=precision)   # (C_t, M_t)
-        pdd = jnp.dot(Q_d, P16, preferred_element_type=f32,
-                      precision=precision)
-        if cfg.include_shear_deltaf:
-            pim = jnp.dot(Q_pi, P16, preferred_element_type=f32,
+        if split:
+            P16_h = _bf16_round(P16)
+            P16_l = P16 - P16_h
+            pdd = _dot3(Q_d_h, Q_d_l, P16_h, P16_l)
+            if cfg.include_shear_deltaf:
+                pim = _dot3(Q_pi_h, Q_pi_l, P16_h, P16_l)
+            else:
+                pim = 0.0
+            if cfg.include_baryon and cfg.include_baryondiff_deltaf:
+                Vp = _dot3(Q_V_h, Q_V_l, P16_h, P16_l)
+            else:
+                Vp = 0.0
+        else:
+            pdd = jnp.dot(Q_d, P16, preferred_element_type=f32,
                           precision=precision)
-        else:
-            pim = 0.0
-        if cfg.include_baryon and cfg.include_baryondiff_deltaf:
-            Vp = jnp.dot(Q_V, P16, preferred_element_type=f32,
-                         precision=precision)
-        else:
-            Vp = 0.0
+            if cfg.include_shear_deltaf:
+                pim = jnp.dot(Q_pi, P16, preferred_element_type=f32,
+                              precision=precision)
+            else:
+                pim = 0.0
+            if cfg.include_baryon and cfg.include_baryondiff_deltaf:
+                Vp = jnp.dot(Q_V, P16, preferred_element_type=f32,
+                             precision=precision)
+            else:
+                Vp = 0.0
 
         a = E * invT - alphaB * b_m
         feq = 1.0 / (jnp.exp(a) + sgn)
@@ -149,9 +197,18 @@ def _kernel(q_ref, cols_ref, mom_ref, eta_ref, out_ref, *, cfg: Config,
         # suffices (a reshape of the mask column would be a lane<->sublane
         # transpose, which Mosaic does not support)
         ones_row = jnp.ones((1, C_t), f32)
-        partial = jnp.dot(ones_row, value,
-                          preferred_element_type=f32,
-                          precision=jax.lax.Precision.HIGHEST)  # (1, M_t)
+        if split:
+            # ones are bf16-exact, so splitting VALUE alone gives a 2-pass
+            # exact-split reduction (error 2^-9 of the bf16 RESIDUAL,
+            # ~2^-18 relative per element)
+            v_h = _bf16_round(value)
+            partial = (jnp.dot(ones_row, v_h, preferred_element_type=f32)
+                       + jnp.dot(ones_row, value - v_h,
+                                 preferred_element_type=f32))  # (1, M_t)
+        else:
+            partial = jnp.dot(ones_row, value,
+                              preferred_element_type=f32,
+                              precision=jax.lax.Precision.HIGHEST)  # (1, M_t)
         return acc + w_e * partial
 
     # i32 bounds: Python-int bounds trace an i64 loop counter under
@@ -177,12 +234,17 @@ def cooper_frye_pallas(q, cols, mom, eta_pack, cfg: Config,
                        c_tile: int = 512, m_tile: int = 1024,
                        n_eta: int | None = None,
                        interpret: bool = False,
-                       precision=jax.lax.Precision.HIGHEST):
+                       precision=jax.lax.Precision.HIGHEST,
+                       dot_impl: str = "highest"):
     """Run the fused kernel.
 
     q: (C, 64), cols: (C, 16), mom: (8, M), eta_pack: (8, n_eta_pad)
     (all f32; C % c_tile == 0, M % m_tile == 0).
     Returns (M,) f64 spectra partials summed over all cells.
+
+    dot_impl="split" replaces the HIGHEST (6-pass) MXU dots of the LINEAR
+    contractions and the cell reduction with hand-rolled 2/3-pass
+    exact-bf16-split dots (see _dot3); u.p keeps ``precision``.
     """
     C = q.shape[0]
     M = mom.shape[1]
@@ -197,7 +259,8 @@ def cooper_frye_pallas(q, cols, mom, eta_pack, cfg: Config,
     # (everything in the kernel is f32/i32 regardless)
     with jax.enable_x64(False):
       out = pl.pallas_call(
-        partial(_kernel, cfg=cfg, n_eta=n_eta, precision=precision),
+        partial(_kernel, cfg=cfg, n_eta=n_eta, precision=precision,
+                dot_impl=dot_impl),
         out_shape=jax.ShapeDtypeStruct((8, M), jnp.float32),
         grid=(n_m, n_c),
         in_specs=[

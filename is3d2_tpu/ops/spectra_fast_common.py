@@ -110,7 +110,7 @@ def compute_spectra_pallas(cells: CellArrays, coeffs: dict,
                            species: SpeciesArrays, grid: MomentumGridDevice,
                            cfg: Config, c_tile: int = 512, m_tile: int = 1024,
                            interpret: bool = False,
-                           precision=None):
+                           precision=None, dot_impl: str = "highest"):
     """Full Pallas spectra: returns (S, NpT, Nphi, 1) f64."""
     from .cooper_frye_pallas import cooper_frye_pallas
 
@@ -128,7 +128,8 @@ def compute_spectra_pallas(cells: CellArrays, coeffs: dict,
         precision = jax.lax.Precision.HIGHEST
     flat = cooper_frye_pallas(q, cols, mom, eta_pack, cfg,
                               c_tile=c_tile, m_tile=m_tile, n_eta=Ne,
-                              interpret=interpret, precision=precision)[:M]
+                              interpret=interpret, precision=precision,
+                              dot_impl=dot_impl)[:M]
     S = species.mass.shape[0]
     NpT = grid.pT.shape[0]
     Nphi = grid.cos_phi.shape[0]

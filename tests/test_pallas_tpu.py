@@ -118,3 +118,29 @@ def test_pallas_tpu_feqmod(reference_dir, df_mode):
         interpret=False))
     err = _rel_err(out, ref)
     assert err < 1e-4, f"on-TPU pallas feqmod df{df_mode} err {err:.2e}"
+
+
+def test_pallas_tpu_split_dot(reference_dir):
+    """The 2/3-pass exact-bf16-split dots (dot_impl="split") on silicon:
+    real bf16 MXU rounding, parity vs the XLA fast path.  The split halves
+    the HIGHEST dots' MXU passes on the linear contractions (24 -> ~14 per
+    eta step); the sweep tool (tools/pallas_sweep.py) measures whether that
+    closes the 3-13% XLA gap."""
+    from is3d2_tpu.core.spectra import df12_cell_coefficients
+    from is3d2_tpu.core.spectra_fast import compute_spectra_fast
+    from is3d2_tpu.ops.spectra_fast_common import compute_spectra_pallas
+    import jax.numpy as jnp
+
+    if not _is_tpu():
+        pytest.skip("no TPU device")
+    (_, cfg, df_data, _, _, cells, species, grid) = _setup(1, reference_dir)
+    coeffs = df12_cell_coefficients(cells, df_data, cfg)
+    ref = np.asarray(compute_spectra_fast(cells, coeffs, species, grid, cfg,
+                                          n_blocks=1,
+                                          compute_dtype=jnp.float32))
+    out = np.asarray(compute_spectra_pallas(cells, coeffs, species, grid,
+                                            cfg, c_tile=128, m_tile=512,
+                                            interpret=False,
+                                            dot_impl="split"))
+    err = _rel_err(out, ref)
+    assert err < 1e-4, f"on-TPU pallas split-dot err {err:.2e}"

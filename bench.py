@@ -27,6 +27,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO / "tests"))
 sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
 
 import numpy as np
 
@@ -339,6 +340,55 @@ def main():
     rate = evals / best
     log(f"steady state: {best:.3f}s for {evals:.3e} evals -> {rate:.3e} evals/s")
 
+    # VPU roofline (VERDICT r3 item 4): the CF chain is elementwise VPU
+    # work (K=4/10 contractions are too small for the MXU); published
+    # per-unit v5e peaks aren't available, so MEASURE them: per-op-class
+    # microbenches (VMEM-resident FMA/exp/div loops, tools/roofline.py)
+    # interleaved with the kernel in this same process, and XLA cost
+    # analysis for the kernel's per-eval op mix.
+    roofline = {}
+    try:
+        from roofline import make_microbenches, kernel_cost_per_eval, _fence
+        n_eta = len(grids.eta)
+        from is3d2_tpu.core import spectra_fast as SF
+        eta64 = grid.eta.astype(jnp.float64)
+        per_cell_r, qm1_r, qm2_r = SF._cell_Q_comp(cells, coeffs, eta64)
+        mom_r = SF.momentum_matrix_comp(species, grid)
+        comp = SF._spectra_fast_comp_jit.lower(
+            per_cell_r, qm1_r, qm2_r, mom_r, eta64, grid.eta_weight, cfg,
+            n_blocks, 4).compile()
+        cost = kernel_cost_per_eval(comp, n_blocks, 4, n_eta, evals)
+        benches, shape = make_microbenches()
+        xb = jnp.full(shape, 0.7, jnp.float32)
+        margs = {"fma": (xb, jnp.float32(0.999993), jnp.float32(1.1e-5)),
+                 "exp": (xb, jnp.float32(0.3678794)),
+                 "div": (xb, jnp.float32(0.3678794))}
+        for name, (mfn, _) in benches.items():
+            _fence(mfn(*margs[name]))            # compile
+        peaks = {k: [] for k in benches}
+        kbest = []
+        for _ in range(2):                       # interleaved with the kernel
+            t0 = time.time(); run(); kbest.append(time.time() - t0)
+            for name, (mfn, ops) in benches.items():
+                t0 = time.time(); _fence(mfn(*margs[name]))
+                peaks[name].append(ops / (time.time() - t0))
+        peak = {k: max(v) for k, v in peaks.items()}
+        k_best = min(kbest + [best])
+        t_bound = evals * (cost["flops_per_eval"] / peak["fma"]
+                           + cost["transcendentals_per_eval"] / peak["exp"])
+        roofline = {
+            "flops_per_eval": round(cost["flops_per_eval"], 1),
+            "transcendentals_per_eval":
+                round(cost["transcendentals_per_eval"], 3),
+            "measured_vpu_peak_ops_per_s":
+                {k: float(f"{v:.4g}") for k, v in peak.items()},
+            "time_lower_bound_s": round(t_bound, 3),
+            "vpu_utilization": round(t_bound / k_best, 3),
+        }
+        log(f"roofline: {roofline}")
+    except Exception as e:
+        log(f"roofline measurement unavailable ({e})")
+
     sampler_kept_per_s, sampler_drawn_per_s, sampler_phases = measure_sampler(
         surf, species_t, chosen, df_data, cfg, ref)
 
@@ -375,6 +425,8 @@ def main():
         "sampler_phase_seconds": sampler_phases,
         "engine_steady_seconds_4096cells": engines,
     }
+    if roofline:
+        result["roofline"] = roofline
     # the shared axon device's execution speed varies 2.5-35x between time
     # windows (identical cached programs; see NORTHSTAR.json); record the
     # best committed measurement so a slow-window run is distinguishable

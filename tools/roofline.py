@@ -1,0 +1,284 @@
+#!/usr/bin/env python
+"""Empirical VPU roofline for the Cooper-Frye fast kernel (VERDICT r3 #4).
+
+The CF chain is elementwise (VPU) work: XLA cost analysis of the production
+f32c program gives ~94 f32 flops + 1 exp + 1 divide per integrand eval
+(the contractions' K is 4/10, far too small for the MXU -- see
+core/spectra_fast._contract).  Three rounds of a flat ~4.0e10 evals/s
+headline need a *bound* statement, but public per-unit peaks for the v5e
+VPU/transcendental path aren't in the TPU docs, so this script MEASURES
+them on the attached chip:
+
+  * FMA peak: a VMEM-resident fori_loop of chained per-element FMAs
+    (arithmetic intensity ~64 flops/byte, far above the compute:HBM
+    knee, so the loop is compute-bound by construction);
+  * exp peak: the same loop shape with an exp+mul body (the transcendental
+    path evaluates exp/log/tanh/rsqrt; XLA lowers jnp.exp to one of these
+    evaluations, counted as 1 "transcendental" in cost analysis);
+  * divide peak: same with a reciprocal+mul body.
+
+It then times the production bench kernel INTERLEAVED with the
+microbenches (the shared tunnel device's speed varies between windows;
+only same-process interleaved ratios are comparable, see CLAUDE.md) and
+reports utilization: the kernel's measured VPU-op issue rate as a fraction
+of the measured peak for its op mix,
+
+  time_bound = flops/FMA_peak + exps/exp_peak + divs/div_peak
+  utilization = time_bound / time_measured.
+
+If utilization is near 1 the headline is VPU-bound and the flat trend is
+the hardware ceiling; the remaining levers reduce WORK (species grouping,
+eta symmetry), not rate.  Reference ceiling argument being matched:
+emissionfunction.cu:152-451 (the reference's own accelerator backend).
+
+Usage: python tools/roofline.py [--cells N] [--json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "tests"))
+sys.path.insert(0, str(REPO))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _fence(x):
+    """Force a host read: on the axon tunnel block_until_ready returns
+    before execution finishes (CLAUDE.md)."""
+    import numpy as np
+    return float(np.asarray(x).ravel()[-1])
+
+
+def make_microbenches(shape=(256, 1024), inner=32, trips=512):
+    """Build jitted VPU microbench programs with a known op count.
+
+    Each program loops ``trips`` times over ``inner`` chained per-element
+    ops on a VMEM-sized f32 array.  The FMA body is x*a+b with traced
+    (unfoldable) coefficients; the loop-carried dependence prevents
+    reassociation, and the tiny array (1 MiB) keeps the loop resident.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n_elem = shape[0] * shape[1]
+
+    @jax.jit
+    def fma_bench(x, a, b):
+        def body(i, x):
+            for _ in range(inner // 2):
+                x = x * a + b
+                x = x * b + a
+            return x
+        return jax.lax.fori_loop(0, trips, body, x)
+
+    @jax.jit
+    def exp_bench(x, c):
+        def body(i, x):
+            for _ in range(inner):
+                x = jnp.exp(x) * c       # fixed point ~1: stays bounded
+            return x
+        return jax.lax.fori_loop(0, trips, body, x)
+
+    @jax.jit
+    def div_bench(x, c):
+        def body(i, x):
+            for _ in range(inner):
+                x = c / (x + c)          # fixed point: stays bounded
+            return x
+        return jax.lax.fori_loop(0, trips, body, x)
+
+    n_ops = n_elem * inner * trips
+    return {
+        # (fn, args, ops-per-call); FMA counts mul+add = 2 flops
+        "fma": (fma_bench, 2 * n_ops),
+        "exp": (exp_bench, n_ops),
+        "div": (div_bench, n_ops),
+    }, shape
+
+
+def measure_peaks(repeats=3, shape=(256, 1024), inner=32, trips=512):
+    """Measured per-op peaks (ops/s) for the VPU op classes."""
+    import jax.numpy as jnp
+
+    benches, shape = make_microbenches(shape, inner, trips)
+    x = jnp.full(shape, 0.7, jnp.float32)
+    a = jnp.float32(0.999993)
+    b = jnp.float32(1.1e-5)
+    c = jnp.float32(0.3678794)
+    args = {"fma": (x, a, b), "exp": (x, c), "div": (x, c)}
+
+    peaks = {}
+    for name, (fn, ops) in benches.items():
+        _fence(fn(*args[name]))          # compile + warm
+        best = min(_timed(fn, args[name]) for _ in range(repeats))
+        peaks[name] = ops / best
+        log(f"microbench {name}: best {best*1e3:.2f} ms "
+            f"-> {peaks[name]:.3e} ops/s")
+    return peaks
+
+
+def _timed(fn, args):
+    t0 = time.time()
+    _fence(fn(*args))
+    return time.time() - t0
+
+
+def kernel_cost_per_eval(compiled, n_blocks, n_m_blocks, n_eta, evals):
+    """Per-eval op counts from XLA cost analysis.
+
+    XLA's HLO cost analysis counts each while/scan body ONCE (verified on
+    both the CPU and TPU backends for this program: 'transcendentals'
+    comes back == the elements of a single (cell-block, eta) body, i.e.
+    exactly 1 exp per eval per body).  Normalize accordingly, with a
+    fallback if a backend multiplies trip counts in."""
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    flops, transc = ca.get("flops", 0.0), ca.get("transcendentals", 0.0)
+    body_elems = evals / (n_blocks * n_m_blocks * n_eta)
+    per_eval = flops / body_elems
+    if not (5.0 <= per_eval <= 500.0):   # backend multiplied trip counts in
+        per_eval = flops / evals
+        body_elems = evals
+    return {"flops_per_eval": per_eval,
+            "transcendentals_per_eval": transc / body_elems,
+            "bytes_accessed": ca.get("bytes accessed", 0.0)}
+
+
+def build_kernel(n_cells, compute_dtype="f32c", n_species_blocks=4):
+    """The bench.py production program: full HRG Grad-14 f32c spectra."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from surfgen import make_surface
+    from is3d2_tpu.config import Config
+    from is3d2_tpu.io.pdg import read_pdg
+    from is3d2_tpu.io.tables import MomentumGrids, load_table
+    from is3d2_tpu.io.deltaf_tables import DeltafTables
+    from is3d2_tpu.physics.deltaf import DeltafData
+    from is3d2_tpu.core.cells import prepare_cells
+    from is3d2_tpu.core import spectra_fast as SF
+    from is3d2_tpu.core.spectra import (SpeciesArrays, MomentumGridDevice,
+                                        df12_cell_coefficients)
+
+    ref = os.environ.get("IS3D2_REFERENCE", "/root/reference")
+    cfg = Config(operation=1, df_mode=1, hrg_eos=3, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, cell_block=512)
+    surf = make_surface(n_cells, seed=1, shear_scale=0.02, bulk_scale=0.01)
+    species_t = read_pdg(3, os.path.join(ref, "PDG"))
+    grids = MomentumGrids.from_dir(os.path.join(ref, "tables"))
+    phi48 = load_table(os.path.join(
+        ref, "tables/all_tables/phi/phi_gauss_table_48pt.dat"))
+    grids.phi, grids.phi_weight = phi48[:, 0], phi48[:, 1]
+    tables = DeltafTables.load(3, include_baryon=False,
+                               base_dir=os.path.join(
+                                   ref, "deltaf_coefficients/vh"))
+    df_data = DeltafData(tables, 1, include_baryon=False)
+    chosen = np.arange(len(species_t))
+    cells = prepare_cells(surf, cfg, block=512)
+    coeffs = df12_cell_coefficients(cells, df_data, cfg)
+    species = SpeciesArrays.from_table(species_t, chosen)
+    grid = MomentumGridDevice.from_grids(grids, cfg.dimension)
+    n_blocks = cells.n_padded // 512
+    n_eta = len(grids.eta)
+    evals = (cells.n_padded * len(chosen) * len(grids.pT)
+             * len(grids.phi) * n_eta)
+
+    if compute_dtype == "f32c":
+        eta64 = grid.eta.astype(jnp.float64)
+        per_cell, qm1, qm2 = SF._cell_Q_comp(cells, coeffs, eta64)
+        mom = SF.momentum_matrix_comp(species, grid)
+        call_args = (per_cell, qm1, qm2, mom, eta64, grid.eta_weight)
+        fn = lambda: _fence(SF._spectra_fast_comp_jit(
+            *call_args, cfg, n_blocks, n_species_blocks))
+        lowered = SF._spectra_fast_comp_jit.lower(
+            *call_args, cfg, n_blocks, n_species_blocks)
+    else:                               # plain f32 fast path
+        per_cell = SF._cell_Q(cells, coeffs, jnp.float32)
+        mom = SF.momentum_matrix(species, grid, jnp.float32)
+        call_args = (per_cell, mom, grid.eta.astype(jnp.float32),
+                     grid.eta_weight)
+        fn = lambda: _fence(SF._spectra_fast_jit(
+            *call_args, cfg, n_blocks, n_species_blocks, "float64"))
+        lowered = SF._spectra_fast_jit.lower(
+            *call_args, cfg, n_blocks, n_species_blocks, "float64")
+    return fn, lowered, evals, n_blocks, n_species_blocks, n_eta
+
+
+def measure_roofline(n_cells=16384, rounds=3):
+    """Interleaved kernel/microbench measurement + utilization report."""
+    fn, lowered, evals, n_blocks, n_m_blocks, n_eta = build_kernel(n_cells)
+    cost = kernel_cost_per_eval(lowered.compile(), n_blocks, n_m_blocks,
+                                n_eta, evals)
+    log(f"cost analysis: {cost['flops_per_eval']:.1f} flops/eval, "
+        f"{cost['transcendentals_per_eval']:.2f} transc/eval")
+
+    import jax.numpy as jnp
+    benches, shape = make_microbenches()
+    x = jnp.full(shape, 0.7, jnp.float32)
+    a, b, c = (jnp.float32(v) for v in (0.999993, 1.1e-5, 0.3678794))
+    margs = {"fma": (x, a, b), "exp": (x, c), "div": (x, c)}
+    for name, (mfn, _) in benches.items():
+        _fence(mfn(*margs[name]))        # compile
+    fn()                                 # compile + warm the kernel
+
+    # interleave A(kernel) with B(each microbench) round-robin so every
+    # pair shares a device window; keep best-of per program
+    kt, peaks = [], {k: [] for k in benches}
+    for _ in range(rounds):
+        t0 = time.time(); fn(); kt.append(time.time() - t0)
+        for name, (mfn, ops) in benches.items():
+            peaks[name].append(ops / _timed(mfn, margs[name]))
+    k_best = min(kt)
+    peak = {k: max(v) for k, v in peaks.items()}
+    for k in peak:
+        log(f"peak {k}: {peak[k]:.3e} ops/s")
+
+    rate = evals / k_best
+    # op-mix lower bound on the kernel's time from the measured peaks
+    t_bound = evals * (cost["flops_per_eval"] / peak["fma"]
+                       + cost["transcendentals_per_eval"] / peak["exp"])
+    util = t_bound / k_best
+    return {
+        "evals": evals,
+        "evals_per_s": rate,
+        "kernel_best_s": k_best,
+        "flops_per_eval": cost["flops_per_eval"],
+        "transcendentals_per_eval": cost["transcendentals_per_eval"],
+        "achieved_flops_per_s": rate * cost["flops_per_eval"],
+        "achieved_transcendentals_per_s":
+            rate * cost["transcendentals_per_eval"],
+        "measured_peak_ops_per_s": peak,
+        "time_lower_bound_s": t_bound,
+        "vpu_utilization": util,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cells", type=int, default=16384)
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon sitecustomize "
+                         "force-selects TPU; env vars do not work)")
+    args = ap.parse_args()
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    log(f"device: {jax.devices()[0]}")
+    out = measure_roofline(args.cells, args.rounds)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

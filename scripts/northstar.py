@@ -142,12 +142,85 @@ def merge_best(old: dict, new: dict) -> dict:
     return out
 
 
+def run_ensemble_stage(n_surf: int, n_cells: int) -> dict:
+    """Stage 7: mid-scale event-ensemble record on the real chip (VERDICT r3
+    item 5) -- n_surf hydro surfaces through full-SMASH-HRG Grad-14 spectra
+    AND oversampled MC sampling with the surface axis CHUNKED (bounded
+    device memory; one compiled program per chunk shape), the scalable form
+    of the BASELINE stretch config (1000 surfaces; the reference loops whole
+    binaries, scripts/oversample.sh:1-15).  Runs in-process (the ensemble
+    API is a library path, not a CLI workload)."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import dataclasses
+
+    from surfgen import make_surface
+    from is3d2_tpu.config import Config
+    from is3d2_tpu.io.pdg import read_pdg
+    from is3d2_tpu.io.tables import GaussLaguerre, MomentumGrids
+    from is3d2_tpu.io.deltaf_tables import DeltafTables
+    from is3d2_tpu.physics.deltaf import DeltafData
+    from is3d2_tpu.core.ensemble import (compute_spectra_ensemble,
+                                         sample_ensemble_histograms)
+
+    ref = REPO.parent / "reference"
+    log(f"stage 7: building {n_surf} x {n_cells}-cell surfaces ...")
+    t0 = time.time()
+    surfs = [make_surface(n_cells, seed=1000 + i, shear_scale=0.03,
+                          bulk_scale=0.015) for i in range(n_surf)]
+    build_s = time.time() - t0
+
+    species = read_pdg(2, ref / "PDG")            # full SMASH HRG
+    grids = MomentumGrids.from_dir(ref / "tables")
+    laguerre = GaussLaguerre.from_file(
+        ref / "tables/gauss/gla_roots_weights.txt")
+    tables = DeltafTables.load(2, include_baryon=False,
+                               base_dir=ref / "deltaf_coefficients/vh")
+    df_data = DeltafData(tables, 1, include_baryon=False)
+    chosen = np.arange(len(species))
+    cfg = Config(operation=1, df_mode=1, hrg_eos=2, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, cell_block=4096, fast=1,
+                 compute_dtype="f32")
+
+    chunk = 16
+    t0 = time.time()
+    spec = compute_spectra_ensemble(surfs, species, chosen, grids, df_data,
+                                    cfg, laguerre, surface_chunk=chunk)
+    checksum = float(np.asarray(spec).sum())
+    spectra_s = time.time() - t0
+    log(f"stage 7: ensemble spectra ({n_surf} surfaces, chunk {chunk}) "
+        f"{spectra_s:.1f}s  sum={checksum:.4e}")
+
+    cfg2 = dataclasses.replace(cfg, operation=2, y_cut=3.0)
+    t0 = time.time()
+    hists, overflow = sample_ensemble_histograms(
+        surfs, species, chosen, df_data, cfg2, laguerre,
+        events_per_surface=10, capacity=1 << 19, seed=5,
+        surface_chunk=chunk)
+    float(np.asarray(hists["dN_dy"]).sum())  # host read fences the run
+    sampler_s = time.time() - t0
+    log(f"stage 7: ensemble sampler {sampler_s:.1f}s "
+        f"(overflow healed: {int(np.asarray(overflow).sum())})")
+
+    return {"n_surfaces": n_surf, "n_cells": n_cells,
+            "surface_chunk": chunk,
+            "surface_build_s": round(build_s, 1),
+            "spectra_wall_s": round(spectra_s, 3),
+            "sampler_hist_wall_s": round(sampler_s, 3),
+            # "total" keys into merge_best so reruns only improve the record
+            "total": round(spectra_s + sampler_s, 3),
+            "events_per_surface": 10,
+            "hrg": "smash (full, df 1 Grad-14, shear+bulk, f32 fast)"}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cells", type=int, default=100_000)
     ap.add_argument("--out", default=str(REPO / "NORTHSTAR.json"))
     ap.add_argument("--base", default="/tmp/northstar")
     ap.add_argument("--stages", default="1,2,3")
+    ap.add_argument("--ensemble-surfaces", type=int, default=64)
+    ap.add_argument("--ensemble-cells", type=int, default=4096)
     args = ap.parse_args()
     base = Path(args.base)
     base.mkdir(parents=True, exist_ok=True)
@@ -252,6 +325,24 @@ def main():
                           {**common, "operation": 1, "df_mode": 5}, extra)
         record(results, "spectra_famod", lambda: run_cli(
             wd, "stage 6: op-1 famod (df 5 PTMA) spectra, full SMASH HRG"))
+
+    if 7 in stages_on:
+        record(results, "ensemble_64x4096",
+               lambda: run_ensemble_stage(args.ensemble_surfaces,
+                                          args.ensemble_cells))
+
+    if 8 in stages_on:
+        # group_particles=1: species within particle_diff_tolerance (10 MeV)
+        # in mass share one spectra evaluation, rescaled by degeneracy --
+        # 493 SMASH species -> 121 groups (4.07x less compute).  The
+        # reference's grouping machinery only mass-SORTS
+        # (EmissionFunction.cpp grouping comment); here it actually reuses.
+        # Opt-in approximation: same flag, recorded as its own line.
+        wd = make_workdir(base / "op8", surface,
+                          {**common, "operation": 1, "group_particles": 1},
+                          extra)
+        record(results, "spectra_grouped", lambda: run_cli(
+            wd, "stage 8: op-1 spectra, group_particles=1 (121 groups)"))
 
     merged = write_out(results, Path(args.out))
     print(json.dumps(merged, indent=2))

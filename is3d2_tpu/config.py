@@ -109,6 +109,10 @@ class Config:
     # mesh shape: devices = (devices/mesh_species_shards) cell shards
     # x mesh_species_shards species shards
     mesh_species_shards: int = 1
+    # fold the symmetric 2+1d eta quadrature onto half the nodes when the
+    # integrand is exactly even in eta (see spectra_fast.fold_eta_quadrature
+    # for the gate): -1 = auto (fold when exact), 0 = off
+    eta_fold: int = -1
 
     # ------------------------------------------------------------------
     _INT_FIELDS = {
@@ -119,7 +123,7 @@ class Config:
         "sampler_seed", "test_sampler", "pT_bins", "y_bins", "phip_bins",
         "eta_bins", "tau_bins", "r_bins", "group_particles",
         "do_resonance_decays", "lightest_particle", "cell_block",
-        "write_csv", "use_mesh", "mesh_species_shards",
+        "write_csv", "use_mesh", "mesh_species_shards", "eta_fold",
     }
 
     @classmethod

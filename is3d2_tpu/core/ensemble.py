@@ -150,6 +150,10 @@ def compute_spectra_ensemble(surfs, species_table: SpeciesTable, chosen_idx,
     if cfg.df_mode in (1, 2):
         aux = _stack([df12_cell_coefficients(c, df_data, cfg)
                       for c in per_surf])
+        # the folded symmetric eta quadrature is exact per surface, and the
+        # gate reduction works on the stacked (K, C) leaves directly
+        from .spectra_fast import fold_eta_quadrature
+        cells, grid, _ = fold_eta_quadrature(cells, grid, cfg)
         kernel = lambda c, a: _spectra_df12_jit(c, a, species, grid, cfg,
                                                 n_blocks)
     elif cfg.df_mode == 5:

@@ -333,6 +333,7 @@ def compute_dN_dy_cells_fast(cells: CellArrays, coeffs: dict,
     the spacetime distributions (SpacetimeDistribution.cpp:330-404)."""
     if cfg.df_mode not in (1, 2) or cfg.dimension != 2:
         raise ValueError("fast dN/dy implements df 1/2, 2+1d")
+    cells, grid, _ = fold_eta_quadrature(cells, grid, cfg)
     S = species.mass.shape[0]
     if S % n_species_blocks != 0:
         raise ValueError("n_species_blocks must divide the species count")
@@ -673,6 +674,106 @@ def _spectra_fast_comp_jit(per_cell: dict, qm1, qm2, mom: dict, eta, eta_w,
     return acc
 
 
+@jax.jit
+def _odd_eta_field_maxima(cells: CellArrays):
+    """max|field| for every surface field that sources an odd-in-eta term
+    of the 2+1d CF integrand, as ONE device program (one tunnel fetch)."""
+    return jnp.stack([jnp.max(jnp.abs(f)) for f in
+                      (cells.un, cells.dan, cells.pitn, cells.pixn,
+                       cells.piyn, cells.Vn)])
+
+
+def fold_eta_quadrature(cells: CellArrays, grid: MomentumGridDevice,
+                        cfg: Config, strict: bool = False):
+    """Fold the symmetric 2+1d eta quadrature onto half the nodes.
+
+    At y = 0 the CF integrand splits into even and odd parts in eta.  The
+    odd part -- sourced by un/dan (linear rows) and pitn/pixn/piyn/Vn
+    (the m1m4/pxm4/pym4 quadratics and the V.p row) -- cancels PAIRWISE
+    EXACTLY over the reference's symmetric Gauss nodes
+    (/root/reference/tables/eta/eta_gauss_table_24pt.dat; the reference
+    evaluates both +-eta and the sum annihilates the odd terms, so its
+    value is identically the even part's integral).  Evaluating only the
+    even part on the eta >= 0 half-nodes with doubled weights therefore
+    reproduces the full 24-node quadrature exactly while halving the hot
+    eta scan.
+
+    Exactness gate (returns inputs unchanged when any fails):
+      * cfg.dimension == 2 and cfg.eta_fold != 0 and >= 2 nodes;
+      * the node/weight table is symmetric;
+      * un == 0 everywhere (u.p sits inside exp: its odd part must vanish
+        pointwise, not just in the sum);
+      * outflow off OR dan == 0 (the outflow Theta(p.dsigma) is pointwise
+        nonlinear in the odd dan term);
+      * delta-f regulation off OR all odd delta-f sources zero (the
+        |df| <= 1 clip is pointwise nonlinear).
+    The even part is selected by zeroing the odd source fields
+    (dan/pitn/pixn/piyn/Vn) on the copy of ``cells`` used for this engine
+    call; un is already exactly zero by the gate.
+
+    ``strict=True`` is the gate for the NONLINEAR integrands (feqmod/famod:
+    feq(|A^-1 p_LRF|/T_mod) is not linear in the odd sources, so they
+    cannot be zeroed away): it requires EVERY odd source to be exactly
+    zero, in which case the integrand is pointwise even -- true for every
+    physical boost-invariant surface (un = dan = pi*n = Vn = 0) -- and the
+    cfg sub-gates (outflow/regulation) are irrelevant.
+
+    Returns (cells, grid, folded: bool).
+    """
+    if cfg.eta_fold == 0 or cfg.dimension != 2:
+        return cells, grid, False
+    if isinstance(grid.eta, jax.core.Tracer) or isinstance(cells.un,
+                                                           jax.core.Tracer):
+        # inside jit/shard_map the gate cannot read values; the host-level
+        # wrapper is responsible for folding before tracing
+        return cells, grid, False
+    eta = np.asarray(grid.eta, dtype=np.float64)
+    w = np.asarray(grid.eta_weight, dtype=np.float64)
+    n = eta.shape[0]
+    if n < 2:
+        return cells, grid, False
+    order = np.argsort(eta)
+    es, ws = eta[order], w[order]
+    if not (np.allclose(es, -es[::-1], rtol=0.0, atol=1e-14)
+            and np.allclose(ws, ws[::-1], rtol=1e-14)):
+        return cells, grid, False
+
+    mx = np.asarray(_odd_eta_field_maxima(cells))
+    un_mx, dan_mx, pitn_mx, pixn_mx, piyn_mx, vn_mx = (float(v) for v in mx)
+    if strict:
+        if max(un_mx, dan_mx, pitn_mx, pixn_mx, piyn_mx, vn_mx) != 0.0:
+            return cells, grid, False
+    else:
+        if un_mx != 0.0:
+            return cells, grid, False
+        if cfg.outflow and dan_mx != 0.0:
+            return cells, grid, False
+        if cfg.regulate_deltaf:
+            odd_df = 0.0
+            if cfg.include_shear_deltaf:
+                odd_df = max(pitn_mx, pixn_mx, piyn_mx)
+            if cfg.include_baryon and cfg.include_baryondiff_deltaf:
+                odd_df = max(odd_df, vn_mx)
+            if odd_df != 0.0:
+                return cells, grid, False
+
+    half = n // 2
+    fold_eta = es[half + (n % 2):]
+    fold_w = 2.0 * ws[half + (n % 2):]
+    if n % 2:  # a zero node pairs with itself: keep its original weight
+        fold_eta = np.concatenate([[0.0], fold_eta])
+        fold_w = np.concatenate([[ws[half]], fold_w])
+
+    if not strict:  # strict mode verified the odd sources are already zero
+        zeros = jnp.zeros_like(cells.dan)
+        cells = dataclasses.replace(cells, dan=zeros, pitn=zeros, pixn=zeros,
+                                    piyn=zeros, Vn=zeros)
+    grid = dataclasses.replace(
+        grid, eta=jnp.asarray(fold_eta),
+        eta_weight=jnp.asarray(fold_w))
+    return cells, grid, True
+
+
 def compute_spectra_fast(cells: CellArrays, coeffs: dict,
                          species: SpeciesArrays, grid: MomentumGridDevice,
                          cfg: Config, n_blocks: int,
@@ -691,6 +792,8 @@ def compute_spectra_fast(cells: CellArrays, coeffs: dict,
     """
     if cfg.df_mode not in (1, 2):
         raise ValueError("fast path implements df modes 1/2")
+    if cfg.dimension == 2:
+        cells, grid, _ = fold_eta_quadrature(cells, grid, cfg)
     S = species.mass.shape[0]
     if S % n_species_blocks != 0:
         raise ValueError("n_species_blocks must divide the species count")

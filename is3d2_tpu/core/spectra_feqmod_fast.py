@@ -515,6 +515,12 @@ def compute_spectra_feqmod_fast(cells: CellArrays, fq_or_fm,
     NpT = grid.pT.shape[0]
     Nphi = grid.cos_phi.shape[0]
     if cfg.dimension == 2:
+        # strict fold: feq(|A^-1 p|) is nonlinear in the odd-in-eta sources,
+        # so halve the nodes only when they are ALL exactly zero (every
+        # physical boost-invariant surface) -- then the integrand is
+        # pointwise even and the fold is exact
+        from .spectra_fast import fold_eta_quadrature
+        cells, grid, _ = fold_eta_quadrature(cells, grid, cfg, strict=True)
         P9 = build_P9(species, grid)
         out = _feqmod_fast_jit(data, P9, species.mass**2, species.baryon,
                                species.sign, grid.eta, grid.eta_weight, cfg,
@@ -573,6 +579,8 @@ def compute_dN_dy_cells_feqmod_fast(cells: CellArrays, fq,
     (SpacetimeDistribution.cpp:520-1250)."""
     if cfg.dimension != 2 or cfg.df_mode not in (3, 4):
         raise ValueError("fast feqmod dN/dy implements df 3/4, 2+1d")
+    from .spectra_fast import fold_eta_quadrature
+    cells, grid, _ = fold_eta_quadrature(cells, grid, cfg, strict=True)
     S = species.mass.shape[0]
     data = _pack_feqmod_fast(cells, fq, cfg)
     P9 = build_P9(species, grid)

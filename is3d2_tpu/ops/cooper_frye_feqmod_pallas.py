@@ -374,6 +374,8 @@ def compute_spectra_feqmod_pallas(cells, fq_or_fm, species, grid,
     # fall back to interpret mode so use_pallas works everywhere
     interpret = interpret or jax.default_backend() == "cpu"
     kind = "famod" if cfg.df_mode == 5 else "feqmod"
+    from ..core.spectra_fast import fold_eta_quadrature
+    cells, grid, _ = fold_eta_quadrature(cells, grid, cfg, strict=True)
     S = species.mass.shape[0]
     if kind == "famod":
         data = _pack_famod_fast(cells, fq_or_fm, S)

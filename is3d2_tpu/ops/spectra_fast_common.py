@@ -122,6 +122,9 @@ def compute_spectra_pallas(cells: CellArrays, coeffs: dict,
     # fall back to interpret mode so use_pallas works everywhere
     interpret = interpret or jax.default_backend() == "cpu"
 
+    from ..core.spectra_fast import fold_eta_quadrature
+    cells, grid, _ = fold_eta_quadrature(cells, grid, cfg)
+
     q, cols, mom, eta_pack, M, Ne = pack_inputs(cells, coeffs, species, grid,
                                                 cfg, c_tile, m_tile)
     if precision is None:

@@ -103,12 +103,15 @@ def sharded_spectra_fast(cells: CellArrays, coeffs: dict,
     """
     import jax.numpy as jnp
     from ..core.spectra_fast import (_cell_Q, momentum_matrix,
-                                     _spectra_fast_jit, PREFACTOR)
+                                     _spectra_fast_jit, PREFACTOR,
+                                     fold_eta_quadrature)
 
     if compute_dtype is None:
         compute_dtype = jnp.float32
     n_cell_shards = mesh.shape["cells"]
     n_sp_shards = mesh.shape["species"]
+
+    cells, grid, _ = fold_eta_quadrature(cells, grid, cfg)
 
     S0 = species.mass.shape[0]
     cells, coeffs = pad_cells_for_mesh(cells, coeffs, n_cell_shards, block)
@@ -305,6 +308,9 @@ def sharded_spectra_feqmod_fast(cells: CellArrays, fq_or_fm,
     kind = "famod" if cfg.df_mode == 5 else "feqmod"
     n_cell_shards = mesh.shape["cells"]
     n_sp_shards = mesh.shape["species"]
+
+    from ..core.spectra_fast import fold_eta_quadrature
+    cells, grid, _ = fold_eta_quadrature(cells, grid, cfg, strict=True)
 
     S0 = species.mass.shape[0]
     species = pad_species(species, n_sp_shards)
@@ -551,16 +557,19 @@ def sharded_dN_dX_fast(cells: CellArrays, aux, species: SpeciesArrays,
     over the mesh -- the multi-chip analog of
     SpacetimeDistribution.cpp:104-515's per-core slab + reduction."""
     from ..core.spacetime import _scatter_dN_jit
-    from ..core.spectra_fast import compute_dN_dy_cells_fast
+    from ..core.spectra_fast import (compute_dN_dy_cells_fast,
+                                     fold_eta_quadrature)
     from ..core.spectra_feqmod_fast import compute_dN_dy_cells_feqmod_fast
 
     kind = "feqmod" if cfg.df_mode in (3, 4) else "df12"
     n_shards = mesh.devices.size
 
     if kind == "df12":
+        cells, grid, _ = fold_eta_quadrature(cells, grid, cfg)
         cells, aux = pad_cells_for_mesh(cells, aux, n_shards, block)
         aux_spec = {k: P(("cells", "species")) for k in aux}
     else:
+        cells, grid, _ = fold_eta_quadrature(cells, grid, cfg, strict=True)
         n = cells.n_padded
         unit = n_shards * block
         n_target = ((n + unit - 1) // unit) * unit

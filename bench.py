@@ -352,7 +352,8 @@ def main():
     # analysis for the kernel's per-eval op mix.
     roofline = {}
     try:
-        from roofline import make_microbenches, kernel_cost_per_eval, _fence
+        from roofline import (calibrate_microbenches, kernel_cost_per_eval,
+                              _fence)
         from is3d2_tpu.core import spectra_fast as SF
         # lower the SAME program run() executes: the production path folds
         # the symmetric eta quadrature onto half the nodes (exactly -- see
@@ -369,19 +370,16 @@ def main():
             per_cell_r, qm1_r, qm2_r, mom_r, eta64, grid_r.eta_weight, cfg,
             n_blocks, 4).compile()
         cost = kernel_cost_per_eval(comp, n_blocks, 4, n_eta, evals)
-        benches, shape = make_microbenches()
-        xb = jnp.full(shape, 0.7, jnp.float32)
-        margs = {"fma": (xb, jnp.float32(0.999993), jnp.float32(1.1e-5)),
-                 "exp": (xb, jnp.float32(0.3678794)),
-                 "div": (xb, jnp.float32(0.3678794))}
-        for name, (mfn, _) in benches.items():
-            _fence(mfn(*margs[name]))            # compile
+        # microbenches are calibrated to >= 1 s of device compute per call
+        # so the tunnel round-trip latency (~0.1 s in slow windows) cannot
+        # masquerade as the op peak (roofline.calibrate_microbenches)
+        benches = calibrate_microbenches()
         peaks = {k: [] for k in benches}
         kbest = []
         for _ in range(2):                       # interleaved with the kernel
             t0 = time.time(); run(); kbest.append(time.time() - t0)
-            for name, (mfn, ops) in benches.items():
-                t0 = time.time(); _fence(mfn(*margs[name]))
+            for name, (mfn, margs, ops) in benches.items():
+                t0 = time.time(); _fence(mfn(*margs))
                 peaks[name].append(ops / (time.time() - t0))
         peak = {k: max(v) for k, v in peaks.items()}
         k_best = min(kbest + [best])

@@ -65,6 +65,13 @@ def make_microbenches(shape=(256, 1024), inner=32, trips=512):
     ops on a VMEM-sized f32 array.  The FMA body is x*a+b with traced
     (unfoldable) coefficients; the loop-carried dependence prevents
     reassociation, and the tiny array (1 MiB) keeps the loop resident.
+
+    ``trips`` must be large enough that one call runs ~1 s of device
+    compute: every measurement pays a full host<->device tunnel round trip
+    (~0.1 s in slow windows), so a millisecond-scale program measures the
+    LATENCY, not the op peak (observed: a 4e9-op default-trips call read
+    1e11 "ops/s" while the production kernel itself sustained 3.5e12
+    flops/s in the same process).  Use calibrate_microbenches().
     """
     import jax
     import jax.numpy as jnp
@@ -105,21 +112,50 @@ def make_microbenches(shape=(256, 1024), inner=32, trips=512):
     }, shape
 
 
-def measure_peaks(repeats=3, shape=(256, 1024), inner=32, trips=512):
-    """Measured per-op peaks (ops/s) for the VPU op classes."""
+def _microbench_args(shape):
     import jax.numpy as jnp
-
-    benches, shape = make_microbenches(shape, inner, trips)
     x = jnp.full(shape, 0.7, jnp.float32)
     a = jnp.float32(0.999993)
     b = jnp.float32(1.1e-5)
     c = jnp.float32(0.3678794)
-    args = {"fma": (x, a, b), "exp": (x, c), "div": (x, c)}
+    return {"fma": (x, a, b), "exp": (x, c), "div": (x, c)}
 
+
+def calibrate_microbenches(shape=(256, 1024), inner=32, min_wall=1.0,
+                           trips0=512, max_trips=1 << 22):
+    """Per-op-class microbenches whose single-call wall is >= ``min_wall``.
+
+    Doubles each program's trip count (recompiling the tiny loop) until one
+    fenced call takes >= min_wall on the attached device, so the tunnel
+    round-trip latency is amortized to noise.  Returns
+    {name: (fn, args, ops_per_call)}.
+    """
+    margs = _microbench_args(shape)
+    out = {}
+    for name in ("fma", "exp", "div"):
+        trips = trips0
+        while True:
+            benches, _ = make_microbenches(shape, inner, trips)
+            fn, ops = benches[name]
+            _fence(fn(*margs[name]))     # compile + warm
+            wall = _timed(fn, margs[name])
+            if wall >= min_wall or trips >= max_trips:
+                log(f"microbench {name}: calibrated trips={trips} "
+                    f"wall={wall:.2f}s -> {ops / wall:.3e} ops/s")
+                out[name] = (fn, margs[name], ops)
+                break
+            # scale straight to the target (x2 safety), power-of-2 steps
+            factor = max(2.0, 1.2 * min_wall / max(wall, 1e-3))
+            trips = min(max_trips, int(trips * factor))
+    return out
+
+
+def measure_peaks(repeats=3, shape=(256, 1024), inner=32, min_wall=1.0):
+    """Measured per-op peaks (ops/s) for the VPU op classes."""
+    benches = calibrate_microbenches(shape, inner, min_wall)
     peaks = {}
-    for name, (fn, ops) in benches.items():
-        _fence(fn(*args[name]))          # compile + warm
-        best = min(_timed(fn, args[name]) for _ in range(repeats))
+    for name, (fn, args, ops) in benches.items():
+        best = min(_timed(fn, args) for _ in range(repeats))
         peaks[name] = ops / best
         log(f"microbench {name}: best {best*1e3:.2f} ms "
             f"-> {peaks[name]:.3e} ops/s")
@@ -189,9 +225,12 @@ def build_kernel(n_cells, compute_dtype="f32c", n_species_blocks=4):
     species = SpeciesArrays.from_table(species_t, chosen)
     grid = MomentumGridDevice.from_grids(grids, cfg.dimension)
     n_blocks = cells.n_padded // 512
-    n_eta = len(grids.eta)
+    # evals counts the NOMINAL full quadrature; the production program folds
+    # the symmetric eta nodes onto half (exactly), so cost the folded program
     evals = (cells.n_padded * len(chosen) * len(grids.pT)
-             * len(grids.phi) * n_eta)
+             * len(grids.phi) * len(grids.eta))
+    cells, grid, _ = SF.fold_eta_quadrature(cells, grid, cfg)
+    n_eta = grid.eta.shape[0]
 
     if compute_dtype == "f32c":
         eta64 = grid.eta.astype(jnp.float64)
@@ -222,13 +261,7 @@ def measure_roofline(n_cells=16384, rounds=3):
     log(f"cost analysis: {cost['flops_per_eval']:.1f} flops/eval, "
         f"{cost['transcendentals_per_eval']:.2f} transc/eval")
 
-    import jax.numpy as jnp
-    benches, shape = make_microbenches()
-    x = jnp.full(shape, 0.7, jnp.float32)
-    a, b, c = (jnp.float32(v) for v in (0.999993, 1.1e-5, 0.3678794))
-    margs = {"fma": (x, a, b), "exp": (x, c), "div": (x, c)}
-    for name, (mfn, _) in benches.items():
-        _fence(mfn(*margs[name]))        # compile
+    benches = calibrate_microbenches()
     fn()                                 # compile + warm the kernel
 
     # interleave A(kernel) with B(each microbench) round-robin so every
@@ -236,8 +269,8 @@ def measure_roofline(n_cells=16384, rounds=3):
     kt, peaks = [], {k: [] for k in benches}
     for _ in range(rounds):
         t0 = time.time(); fn(); kt.append(time.time() - t0)
-        for name, (mfn, ops) in benches.items():
-            peaks[name].append(ops / _timed(mfn, margs[name]))
+        for name, (mfn, margs, ops) in benches.items():
+            peaks[name].append(ops / _timed(mfn, margs))
     k_best = min(kt)
     peak = {k: max(v) for k, v in peaks.items()}
     for k in peak:

@@ -81,6 +81,12 @@ def main():
     coeffs = df12_cell_coefficients(cells, df_data, cfg)
     species = SpeciesArrays.from_table(species_t, chosen)
     grid = MomentumGridDevice.from_grids(grids, cfg.dimension)
+    # the production Pallas path folds the symmetric eta quadrature before
+    # packing (ops/spectra_fast_common.compute_spectra_pallas), and
+    # build_kernel's XLA reference is folded too -- keep the A/B fair
+    from is3d2_tpu.core.spectra_fast import fold_eta_quadrature
+    cells, grid, folded = fold_eta_quadrature(cells, grid, cfg)
+    log(f"eta fold: {folded} ({grid.eta.shape[0]} computed nodes)")
 
     candidates = []
     for tile in args.tiles.split(","):

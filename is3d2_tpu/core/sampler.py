@@ -52,6 +52,13 @@ from ..utils import host_prep
 from .feqmod import prepare_feqmod, FeqmodCellData
 from .spectra import SpeciesArrays
 
+# kept-row compaction pads are STATIC shapes, bucketed so one compiled
+# finalize program covers chunks whose kept counts differ only
+# statistically (module-level so tests can shrink the bucket to exercise
+# the pad-overrun heal path at test scale)
+_PAD_BUCKET_SMALL = 8192
+_PAD_BUCKET_LARGE = 1 << 20
+
 
 # ----------------------------------------------------------------------
 # mean particle numbers
@@ -1087,6 +1094,16 @@ def _finalize_device(out: dict, setup: SamplerSetup, cfg: Config,
     lean=False)."""
     c = setup.cells
     k_rap = out["_k_rap"]
+    # the 2+1d rapidity draw is made at the PRE-compaction capacity width
+    # and compacted with the kept rows, so a hadron's rapidity depends only
+    # on its capacity-lane id -- never on the (statistically chosen,
+    # bucketed) compaction pad.  JAX's counter-based bits make the
+    # capacity-width stream identical whether or not a pad is applied, so
+    # the same seed gives bitwise-identical kinematics across pad choices
+    # (tests/test_sampler.py::test_sampler_analytic_pad_matches_measured).
+    rap_u = jax.random.uniform(k_rap, out["keep"].shape,
+                               dtype=jnp.float32) \
+        if cfg.dimension == 2 else None
     if pad is None:
         keep = out["keep"]
         event, sp_idx, cell_idx = out["event"], out["sp_idx"], out["cell_idx"]
@@ -1104,13 +1121,16 @@ def _finalize_device(out: dict, setup: SamplerSetup, cfg: Config,
                 out["cell_idx"].astype(jnp.int32)]
         if not lean:
             rows.append(bc(out["mass"]))
+        if rap_u is not None:
+            rows.append(bc(rap_u))
         pack = jnp.take(jnp.stack(rows), idx, axis=1)
         fb = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
         E, px, py, pz = fb(pack[0]), fb(pack[1]), fb(pack[2]), fb(pack[3])
         event, sp_idx, cell_idx = pack[4], pack[5], pack[6]
         mass = fb(pack[7]) if not lean else None
+        if rap_u is not None:
+            rap_u = fb(pack[-1])
 
-    n = keep.shape[0]
     # cell position/flow at kept width: one packed field-major take
     crows = [c.tau, c.ux, c.uy, c.un, c.eta]
     if not lean:
@@ -1126,9 +1146,7 @@ def _finalize_device(out: dict, setup: SamplerSetup, cfg: Config,
 
     if cfg.dimension == 2:
         y_max = cfg.y_cut
-        rap = y_max * (2.0 * jax.random.uniform(k_rap, (n,),
-                                                dtype=jnp.float32) - 1.0)
-        rap = rap.astype(ptau.dtype)
+        rap = (y_max * (2.0 * rap_u - 1.0)).astype(ptau.dtype)
         sinhy = jnp.sinh(rap)
         coshy = jnp.sqrt(1.0 + sinhy * sinhy)
         tau_pn = tau_h * pn
@@ -1202,7 +1220,7 @@ def _finalize_chunk(out: dict, setup: SamplerSetup, cfg: Config,
     kept counts differ only statistically."""
     kept = int(out["kept"])
     cap = out["keep"].shape[0]
-    bucket = 8192 if cap < (4 << 20) else (1 << 20)
+    bucket = _PAD_BUCKET_SMALL if cap < (4 << 20) else _PAD_BUCKET_LARGE
     pad = max(bucket, -(-kept // bucket) * bucket)
     if pad >= cap:
         return _finalize_jit(out, setup, cfg, None, lean)
@@ -1231,13 +1249,27 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
                      df_data: DeltafData, cfg: Config, laguerre: GaussLaguerre,
                      n_events: int, seed: int | None = None,
                      capacity: int | None = None, report=None,
-                     chunk_consumer=None, lean: bool = False):
+                     chunk_consumer=None, lean: bool = False,
+                     mean_kept_1ev: float | None = None):
     """Run the sampler; returns the raw per-hadron dict (device arrays).
 
     With ``chunk_consumer`` (a callable taking one finalized chunk dict),
     chunks are streamed to it instead of concatenated, and only the summed
     scalar diagnostics are returned -- the histogram path binning each
     chunk on device never materializes the campaign-wide hadron axis.
+
+    ``mean_kept_1ev`` (the driver passes compute_total_yield's per-event
+    mean, which the keep-rejection reproduces in expectation) sizes the
+    kept-row compaction pad ANALYTICALLY, so chunk 0 dispatches through the
+    same fused sample+finalize program as every other chunk -- without it,
+    chunk 0 must run the unfused two-program path synchronously just to
+    MEASURE a kept count for the pad, which adds a whole extra program
+    compile + first-run + host sync to every campaign (the dominant fixed
+    cost at production scale: the 33M-drawn north-star campaign is ~3.4 s
+    of steady-state device compute).  A pad overrun (estimate low by >25%
+    + 6 sigma) is caught by deferred validation and that chunk reruns on
+    the measured-pad path, so a biased estimate degrades to the old
+    behavior instead of failing.
 
     If the Poisson total overflows the flat-hadron capacity (a >6-sigma
     fluctuation, or a caller-forced small capacity), the run is retried with
@@ -1342,28 +1374,42 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
         fin["ev0"], fin["n_ev"] = ev0, n_ev
         return fin
 
+    bucket = _PAD_BUCKET_SMALL if capacity < (4 << 20) else _PAD_BUCKET_LARGE
+
+    def bucketed_pad(kept_expect):
+        """1.25x + 6 sigma margin over an expected/measured chunk kept
+        count (chunk kepts are iid Poisson-binomial; overrun is detected
+        and the chunk redone), rounded to the pad bucket so one compiled
+        program covers statistically-varying chunks."""
+        p = int(kept_expect * 1.25 + 6.0 * np.sqrt(max(kept_expect, 1.0))
+                + 1024)
+        return min(max(bucket, -(-p // bucket) * bucket), capacity)
+
     def iter_chunks():
-        """Pipelined campaign: chunk 0 runs synced (its measured kept count
-        fixes the compaction pad for the rest), then chunks 1..N-1 are
-        dispatched with deferred validation through a bounded in-flight
-        window -- no host sync between dispatches, so the device queue stays
-        full and the consumer's device->host transfers (and any streaming
-        format/write work) overlap the compute of the queued chunks (a
-        per-chunk sync serializes compute and transfer and costs ~25% of
-        the stage at production scale).  The window bounds peak HBM to
-        ~window finalized chunks (~13 pad-width arrays each) instead of the
-        whole campaign; consumed chunks drop their last reference at the
-        next popleft."""
-        first = run_chunk_synced(0)
-        if n_chunks == 1:
-            yield first
-            return
-        kept0 = int(first["kept"])
-        bucket = 8192 if capacity < (4 << 20) else (1 << 20)
-        # 1.25x + 6 sigma margin over chunk 0's kept count (chunk kepts are
-        # iid Poisson-binomial; overrun is detected and the chunk redone)
-        pad = int(kept0 * 1.25 + 6.0 * np.sqrt(max(kept0, 1.0)) + 1024)
-        pad = min(max(bucket, -(-pad // bucket) * bucket), capacity)
+        """Pipelined campaign: all chunks dispatch the fused
+        sample+finalize program with deferred validation through a bounded
+        in-flight window -- no host sync between dispatches, so the device
+        queue stays full and the consumer's device->host transfers (and any
+        streaming format/write work) overlap the compute of the queued
+        chunks (a per-chunk sync serializes compute and transfer and costs
+        ~25% of the stage at production scale).  The compaction pad comes
+        from ``mean_kept_1ev`` when the caller knows the yield (the
+        production driver always does); otherwise chunk 0 runs the unfused
+        two-program path synchronously and its measured kept count fixes
+        the pad.  The window bounds peak HBM to ~window finalized chunks
+        (~13 pad-width arrays each) instead of the whole campaign; consumed
+        chunks drop their last reference at the next popleft."""
+        if mean_kept_1ev is not None:
+            pad_box = [bucketed_pad(mean_kept_1ev * events_per_chunk)]
+            start = 0
+            first = None
+        else:
+            first = run_chunk_synced(0)
+            if n_chunks == 1:
+                yield first
+                return
+            pad_box = [bucketed_pad(int(first["kept"]))]
+            start = 1
 
         import collections
         window = 4
@@ -1371,36 +1417,42 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
 
         def dispatch(c):
             ev0, n_ev = chunk_span(c)
-            k = jax.random.fold_in(key, c)
+            k = key if n_chunks == 1 else jax.random.fold_in(key, c)
+            pad = pad_box[0]
             fin = _sample_finalize_jit(setup, species, mcid, cdf_flat,
                                        cdf_bucket, cell_rate, k, cfg,
                                        capacity, n_ev, ev0,
                                        pad if pad < capacity else None,
                                        lean, "alias")
-            fin["ev0"], fin["n_ev"] = ev0, n_ev
+            fin["ev0"], fin["n_ev"], fin["_pad"] = ev0, n_ev, pad
             pending.append((c, fin))
 
-        nxt = 1
+        nxt = start
         while nxt < n_chunks and len(pending) < window:
             dispatch(nxt)
             nxt += 1
-        yield first
+        if first is not None:
+            yield first
         while pending:
             c, fin = pending.popleft()
             # deferred validation: a 6-sigma Poisson overflow or a pad
             # overrun reruns that chunk synchronously (same key -> same
-            # Poisson counts)
-            if bool(fin["overflow"]) or int(fin["kept"]) > pad:
+            # Poisson counts); the measured kept count then raises the pad
+            # for the chunks not yet dispatched
+            if bool(fin["overflow"]) or int(fin["kept"]) > fin["_pad"]:
                 retry_box[0] += 1
                 print(f"chunk {c}: deferred validation failed "
-                      f"(kept {int(fin['kept'])} / pad {pad}); rerunning",
-                      flush=True)
+                      f"(kept {int(fin['kept'])} / pad {fin['_pad']}); "
+                      f"rerunning", flush=True)
                 fin = run_chunk_synced(c)
+                pad_box[0] = max(pad_box[0],
+                                 bucketed_pad(int(fin["kept"])))
             # top off the window BEFORE yielding: the device computes the
             # refill while the consumer transfers/formats this chunk
             if nxt < n_chunks:
                 dispatch(nxt)
                 nxt += 1
+            fin.pop("_pad", None)
             yield fin
 
     def fill_report(out):

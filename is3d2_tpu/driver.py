@@ -193,7 +193,8 @@ class IS3D:
                     sample_particles(self.surface, self.species,
                                      self.chosen_idx, self.df_data, cfg,
                                      self.laguerre, n_events,
-                                     report=report, chunk_consumer=binner)
+                                     report=report, chunk_consumer=binner,
+                                     mean_kept_1ev=float(Ntot))
                     self._mark_compute(t_compute, "sampling")
                     ta = time.time()
                     self.histograms = binner.result(n_events)
@@ -215,7 +216,8 @@ class IS3D:
                 # compute on the 1-core host, NORTHSTAR r2)
                 writer = output.StreamingEventWriter(results,
                                                      csv=bool(cfg.write_csv))
-                self._sample_streaming(cfg, n_events, report, writer)
+                self._sample_streaming(cfg, n_events, report, writer,
+                                       mean_kept_1ev=float(Ntot))
                 self._mark_compute(t_compute, "sampling")
                 ta = time.time()
                 self.final_particles = writer.particle_list()
@@ -231,7 +233,8 @@ class IS3D:
             else:
                 # library path (no files): stream chunks into host numpy
                 collector = ChunkCollector()
-                self._sample_streaming(cfg, n_events, report, collector)
+                self._sample_streaming(cfg, n_events, report, collector,
+                                       mean_kept_1ev=float(Ntot))
                 self._mark_compute(t_compute, "sampling")
                 ta = time.time()
                 self.final_particles = collector.particle_list()
@@ -250,12 +253,15 @@ class IS3D:
         print(f"Particlization took {time.time() - t0:.3f} seconds")
 
     def _sample_streaming(self, cfg: Config, n_events: int, report,
-                          consumer) -> None:
+                          consumer, mean_kept_1ev: float | None = None
+                          ) -> None:
         """Production op-2 sampling into a streaming chunk consumer: the
         event axis shards over the mesh when cfg.use_mesh enables one (the
         reference's process-farm oversampling,
         run_multithread_sampling_iS3D.py:18-31), else the single-device
-        pipelined chunk stream."""
+        pipelined chunk stream.  ``mean_kept_1ev`` (= the Ntot yield
+        estimate) sizes the kept-row pad analytically so every chunk,
+        including the first, runs the fused pipelined program."""
         from .parallel.sharding import auto_mesh
         mesh = auto_mesh(cfg)
         if mesh is not None:
@@ -264,12 +270,12 @@ class IS3D:
                                     self.chosen_idx, self.df_data, cfg,
                                     self.laguerre, n_events, mesh,
                                     report=report, chunk_consumer=consumer,
-                                    lean=True)
+                                    lean=True, mean_kept_1ev=mean_kept_1ev)
         else:
             sample_particles(self.surface, self.species, self.chosen_idx,
                              self.df_data, cfg, self.laguerre, n_events,
                              report=report, chunk_consumer=consumer,
-                             lean=True)
+                             lean=True, mean_kept_1ev=mean_kept_1ev)
 
     def _mark_compute(self, t_start: float, what: str) -> None:
         dt = time.time() - t_start

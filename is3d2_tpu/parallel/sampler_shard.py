@@ -167,7 +167,8 @@ _HADRON_KEYS_LEAN = ("keep", "event", "sp_idx", "cell_idx", "eta", "px",
 def sample_particles_meshed(surf, species_table, chosen_idx, df_data,
                             cfg: Config, laguerre, n_events: int, mesh: Mesh,
                             seed: int | None = None, report=None,
-                            chunk_consumer=None, lean: bool = False):
+                            chunk_consumer=None, lean: bool = False,
+                            mean_kept_1ev: float | None = None):
     """Production op-2 particle-list campaign with the EVENT axis sharded
     over the mesh -- the multi-chip analog of the reference farming N
     sampler processes that each write their own event files
@@ -183,12 +184,14 @@ def sample_particles_meshed(surf, species_table, chosen_idx, df_data,
     only its addressable shards and write per-host files, exactly the
     reference's per-process files.
 
-    Pipelined like the single-chip path: round 0 runs synced (its kept
-    count fixes the compaction pad), later rounds dispatch through a
-    bounded in-flight window with deferred validation; a capacity overflow
-    (>6-sigma Poisson fluctuation) or pad overrun on ANY device reruns that
-    round synced with the envelope grown.  Returns the summed diagnostics
-    dict (the _SUM_KEYS scalars)."""
+    Pipelined like the single-chip path: with ``mean_kept_1ev`` (the
+    driver passes compute_total_yield's per-event mean) the per-device
+    compaction pad is sized analytically and EVERY round, including round
+    0, dispatches through the bounded in-flight window; without it, round
+    0 runs synced and its measured kept count fixes the pad.  Deferred
+    validation reruns any round synced on a capacity overflow (>6-sigma
+    Poisson fluctuation) or pad overrun on ANY device, with the envelope
+    grown.  Returns the summed diagnostics dict (the _SUM_KEYS scalars)."""
     import numpy as np
     from ..core.sampler import _SUM_KEYS
 
@@ -241,6 +244,9 @@ def sample_particles_meshed(surf, species_table, chosen_idx, df_data,
         """One round, synchronously validated (overflow/overrun retries)."""
         counts, starts, ev0, n_ev = round_split(r)
         kr = jax.random.fold_in(key, r)
+        if run_box["run"] is None:  # analytic-pad campaigns build the
+            run_box["run"] = make_run(run_box["capacity"],  # safe synced
+                                      run_box["pad"])       # program lazily
         while True:
             fin = run_box["run"](setup, species, mcid, cdf_flat, cdf_bucket,
                                  cell_rate, kr, jnp.asarray(counts),
@@ -261,16 +267,17 @@ def sample_particles_meshed(surf, species_table, chosen_idx, df_data,
         fin["ev0"], fin["n_ev"] = ev0, n_ev
         return fin
 
-    # round 0 synced with pad = capacity (always safe); its kept count
-    # fixes the compaction pad for the pipelined rounds
-    run_box = {"capacity": capacity, "pad": capacity,
-               "run": make_run(capacity, capacity), "retries": 0}
-    first = run_round_synced(0, run_box)
     n_dev = mesh.devices.size
-    kept0_dev = int(first["kept"]) / max(n_dev, 1)
-    pad = int(kept0_dev * 1.25 + 6.0 * np.sqrt(max(kept0_dev, 1.0)) + 1024)
-    bucket = 8192
-    pad = min(max(bucket, -(-pad // bucket) * bucket), run_box["capacity"])
+    from ..core import sampler as _sampler_mod
+    bucket = _sampler_mod._PAD_BUCKET_SMALL
+
+    def bucketed_pad(kept_dev_expect):
+        p = int(kept_dev_expect * 1.25
+                + 6.0 * np.sqrt(max(kept_dev_expect, 1.0)) + 1024)
+        return min(max(bucket, -(-p // bucket) * bucket), capacity)
+
+    run_box = {"capacity": capacity, "pad": capacity, "run": None,
+               "retries": 0}
 
     diags = None
 
@@ -283,9 +290,23 @@ def sample_particles_meshed(surf, species_table, chosen_idx, df_data,
         diags = d if diags is None else \
             {kk: diags[kk] + d[kk] for kk in _SUM_KEYS}
 
-    consume(first)
+    if mean_kept_1ev is not None:
+        # analytic per-device pad: a device samples <= max_ev_dev whole
+        # events per round, each with mean kept yield mean_kept_1ev
+        max_ev_dev = max(int(round_split(r)[0].max())
+                         for r in range(n_rounds))
+        pad = bucketed_pad(mean_kept_1ev * max_ev_dev)
+        start = 0
+    else:
+        # round 0 synced with pad = capacity (always safe); its kept count
+        # fixes the compaction pad for the pipelined rounds
+        run_box["run"] = make_run(capacity, capacity)
+        first = run_round_synced(0, run_box)
+        pad = bucketed_pad(int(first["kept"]) / max(n_dev, 1))
+        consume(first)
+        start = 1
 
-    if n_rounds > 1:
+    if n_rounds > start:
         import collections
         run_pipe = make_run(run_box["capacity"], pad)
         window = 4
@@ -300,7 +321,7 @@ def sample_particles_meshed(surf, species_table, chosen_idx, df_data,
             fin["ev0"], fin["n_ev"] = ev0, n_ev
             pending.append((r, fin))
 
-        nxt = 1
+        nxt = start
         while nxt < n_rounds and len(pending) < window:
             dispatch(nxt)
             nxt += 1

@@ -163,6 +163,58 @@ def test_sampler_event_chunking(env):
     assert int(out["drawn"]) == int(out["total"])
 
 
+def test_sampler_analytic_pad_matches_measured(env, monkeypatch):
+    """``mean_kept_1ev`` (the driver's Ntot yield estimate) sizes the
+    kept-row compaction pad analytically, so chunk 0 dispatches the fused
+    pipelined program instead of the synced unfused probe run -- the kept
+    rows must be IDENTICAL to the measured-pad path (same seed -> same
+    Poisson counts and rejection draws; only the static pad width
+    differs), and a deliberately tiny estimate must self-heal through
+    deferred validation to the same rows."""
+    import is3d2_tpu.core.sampler as S
+    species, grids, laguerre, tables, surf, plasma = env
+    df_data = DeltafData(tables, 1, include_baryon=False)
+    compute_particle_densities(species, df_data, laguerre, plasma)
+    chosen = species.chosen_indices(PIKP)
+    n_events = 400
+
+    base = Config(operation=2, df_mode=1, hrg_eos=3, include_shear_deltaf=1,
+                  include_bulk_deltaf=1, fast=1, cell_block=64)
+    ref = sample_particles(surf, species, chosen, df_data, base, laguerre,
+                           n_events=n_events, seed=5)
+    kept_1ev = float(ref["kept"]) / n_events
+    drawn_1ev = float(ref["drawn"]) / n_events
+    cfg = dataclasses.replace(
+        base, sampler_chunk_hadrons=drawn_1ev * n_events / 4)
+
+    def rows(out):
+        p = to_particle_list(out)
+        order = np.lexsort((np.asarray(p.px[p.valid]),
+                            np.asarray(p.event[p.valid])))
+        return {f: np.asarray(getattr(p, f)[p.valid])[order]
+                for f in ("event", "px", "py", "pz", "E")}
+
+    a = sample_particles(surf, species, chosen, df_data, cfg, laguerre,
+                         n_events=n_events, seed=5)
+    b = sample_particles(surf, species, chosen, df_data, cfg, laguerre,
+                         n_events=n_events, seed=5, mean_kept_1ev=kept_1ev)
+    ra, rb = rows(a), rows(b)
+    assert len(ra["px"]) == len(rb["px"]) > 0
+    for f in ra:
+        np.testing.assert_array_equal(ra[f], rb[f])
+
+    # shrink the pad bucket so a 30x-low estimate actually under-pads at
+    # test scale (the production floor of 8192 would absorb it), forcing
+    # the pad-overrun deferred-validation heal on every chunk
+    monkeypatch.setattr(S, "_PAD_BUCKET_SMALL", 128)
+    c = sample_particles(surf, species, chosen, df_data, cfg, laguerre,
+                         n_events=n_events, seed=5,
+                         mean_kept_1ev=kept_1ev / 30.0)
+    rc = rows(c)
+    for f in ra:
+        np.testing.assert_array_equal(ra[f], rc[f])
+
+
 def test_total_yield_matches_sampled(env):
     """calculate_total_yield estimate vs actually kept hadrons."""
     species, grids, laguerre, tables, surf, plasma = env

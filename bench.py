@@ -344,6 +344,39 @@ def main():
     rate = evals / best
     log(f"steady state: {best:.3f}s for {evals:.3e} evals -> {rate:.3e} evals/s")
 
+    # Pallas exact-bf16-split kernel (production `use_pallas` path since
+    # round 4): measured INTERLEAVED with the XLA kernel so only the ratio
+    # is claimed (the tunnel window varies 2.5-35x); the 2026-08-19 sweep
+    # (docs/pallas_sweep_2026-08-19.json) measured 0.83-0.95x XLA
+    pallas = {}
+    if jax.default_backend() != "cpu":
+        try:
+            from is3d2_tpu.ops.spectra_fast_common import (
+                compute_spectra_pallas)
+
+            def run_pallas():
+                return float(compute_spectra_pallas(
+                    cells, coeffs, species, grid, cfg).sum())
+
+            t0 = time.time()
+            psum = run_pallas()
+            log(f"pallas split compile+first: {time.time() - t0:.1f}s "
+                f"sum={psum:.6e} (rel dev {abs(psum/checksum-1.0):.1e})")
+            pt, xt = [], []
+            for _ in range(3):
+                t0 = time.time(); run_pallas(); pt.append(time.time() - t0)
+                t0 = time.time(); run(); xt.append(time.time() - t0)
+            pallas = {
+                "evals_per_s": evals / min(pt),
+                "ratio_vs_xla_interleaved": min(pt) / min(xt),
+                "accuracy_class": "~4e-6 rel (split MXU dots on the "
+                                  "linear contractions; u.p HIGHEST)",
+            }
+            log(f"pallas split steady: {min(pt):.3f}s vs xla {min(xt):.3f}s "
+                f"-> ratio {min(pt)/min(xt):.3f}")
+        except Exception as e:
+            log(f"pallas split measurement unavailable ({e})")
+
     # VPU roofline (VERDICT r3 item 4): the CF chain is elementwise VPU
     # work (K=4/10 contractions are too small for the MXU); published
     # per-unit v5e peaks aren't available, so MEASURE them: per-op-class
@@ -440,6 +473,8 @@ def main():
     }
     if roofline:
         result["roofline"] = roofline
+    if pallas:
+        result["pallas_split"] = pallas
     # the shared axon device's execution speed varies 2.5-35x between time
     # windows (identical cached programs; see NORTHSTAR.json); record the
     # best committed measurement so a slow-window run is distinguishable

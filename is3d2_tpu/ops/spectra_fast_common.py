@@ -108,10 +108,23 @@ def pack_inputs(cells: CellArrays, coeffs: dict, species: SpeciesArrays,
 
 def compute_spectra_pallas(cells: CellArrays, coeffs: dict,
                            species: SpeciesArrays, grid: MomentumGridDevice,
-                           cfg: Config, c_tile: int = 512, m_tile: int = 1024,
+                           cfg: Config, c_tile: int = 512, m_tile: int = 512,
                            interpret: bool = False,
-                           precision=None, dot_impl: str = "highest"):
-    """Full Pallas spectra: returns (S, NpT, Nphi, 1) f64."""
+                           precision=None, dot_impl: str = "split"):
+    """Full Pallas spectra: returns (S, NpT, Nphi, 1) f64.
+
+    Production defaults from the 2026-08-19 on-silicon interleaved sweep
+    (tools/pallas_sweep.py, 16384 cells, eta-folded, 3 rounds): the
+    exact-bf16-split MXU dots (dot_impl="split", _dot3) BEAT the XLA f32
+    fast path 0.83-0.95x across every tile tried, with (512, 512) the
+    fastest absolute (4.11 s = 8.7e10 evals/s vs XLA 4.73 s = 7.6e10) --
+    the first Pallas-over-XLA result after the HIGHEST-dot variant lost
+    3-13% for two rounds.  Accuracy: O(2^-18) of the contraction
+    magnitude (u.p keeps HIGHEST because exp amplifies argument error) --
+    ~4e-6 relative on typical entries, up to ~1e-4 where the df
+    correction nearly cancels f_eq (df-2 diffusion tails measured 5.3e-5,
+    test_pallas_split_dot_matches); use dot_impl="highest" for
+    ~8e-6-exact MXU dots at ~1.3x the wall."""
     from .cooper_frye_pallas import cooper_frye_pallas
 
     if cfg.dimension != 2:

@@ -44,9 +44,13 @@ def test_pallas_kernel_matches_reference_path(reference_dir, df_mode):
     species = SpeciesArrays.from_table(species_t, chosen)
     grid = MomentumGridDevice.from_grids(grids, cfg.dimension)
 
+    # dot_impl="highest": the exact-MXU variant (production default is
+    # "split" since the 2026-08-19 sweep; its looser error class is bounded
+    # by test_pallas_split_dot_matches below)
     out = np.asarray(compute_spectra_pallas(cells, coeffs, species, grid, cfg,
                                             c_tile=32, m_tile=256,
-                                            interpret=True))
+                                            interpret=True,
+                                            dot_impl="highest"))
     scale = np.abs(ref).max()
     sig = np.abs(ref) > 1e-10 * scale
     err = (np.abs(out - ref) / np.maximum(np.abs(ref), 1e-300))[sig].max()
@@ -134,19 +138,26 @@ def test_use_pallas_config_dispatch(reference_dir, df_mode):
     assert err < 1e-4, f"use_pallas df{df_mode} err {err:.2e}"
 
 
-def test_pallas_split_dot_matches(reference_dir):
-    """dot_impl="split" (the 2/3-pass exact-bf16-split MXU dots) matches the
-    reference path in interpret mode.  CPU interpret DEFAULT dots are plain
-    f32, so this checks the split ALGEBRA and plumbing; the bf16 rounding
-    behavior is covered on silicon (test_pallas_tpu.py)."""
+@pytest.mark.parametrize("df_mode", [1, 2])
+def test_pallas_split_dot_matches(reference_dir, df_mode):
+    """dot_impl="split" (the 2/3-pass exact-bf16-split MXU dots, the
+    production default since the 2026-08-19 on-silicon sweep) matches the
+    reference path in interpret mode.  The dropped A_l*B_l term and the
+    correction-pass rounding are O(2^-18 |A||B|) ~ 4e-6 of the CONTRACTION
+    magnitude, which can reach ~1e-4 RELATIVE on spectra entries where the
+    df correction nearly cancels the equilibrium term (df 2's V.p
+    diffusion tails measured 5.3e-5); bound accordingly.  CPU interpret
+    DEFAULT dots are plain f32, so this checks the split algebra and
+    truncation; real bf16 rounding is covered on silicon
+    (test_pallas_tpu.py)."""
     species_t = read_pdg(3, reference_dir / "PDG")
     grids = MomentumGrids.from_dir(reference_dir / "tables")
     tables = DeltafTables.load(3, include_baryon=False,
                                base_dir=reference_dir / "deltaf_coefficients/vh")
     surf = make_surface(48, seed=29, shear_scale=0.03, bulk_scale=0.01)
-    cfg = Config(operation=1, df_mode=1, hrg_eos=3,
+    cfg = Config(operation=1, df_mode=df_mode, hrg_eos=3,
                  include_shear_deltaf=1, include_bulk_deltaf=1, cell_block=64)
-    df_data = DeltafData(tables, 1, include_baryon=False)
+    df_data = DeltafData(tables, df_mode, include_baryon=False)
     chosen = species_t.chosen_indices(PIKP)
 
     ref = compute_spectra(surf, species_t, chosen, grids, df_data, cfg)
@@ -161,4 +172,4 @@ def test_pallas_split_dot_matches(reference_dir):
     scale = np.abs(ref).max()
     sig = np.abs(ref) > 1e-10 * scale
     err = (np.abs(out - ref) / np.maximum(np.abs(ref), 1e-300))[sig].max()
-    assert err < 5e-5, f"pallas split-dot kernel err {err:.2e}"
+    assert err < 2e-4, f"pallas split-dot kernel err {err:.2e}"

@@ -55,9 +55,21 @@ from .spectra import SpeciesArrays
 # kept-row compaction pads are STATIC shapes, bucketed so one compiled
 # finalize program covers chunks whose kept counts differ only
 # statistically (module-level so tests can shrink the bucket to exercise
-# the pad-overrun heal path at test scale)
+# the pad-overrun heal path at test scale).  The large bucket is 128k, not
+# 1M: the analytic pad is ONE value for the whole campaign (bucketing only
+# matters for the rare heal-raise recompile) and chunk-to-chunk kept
+# variation on the measured path is ~sqrt(kept) ~ a few k, so a fine
+# bucket still compiles one program -- while a 1M bucket rounded a 2.5M
+# pad up to 3M, inflating the device->host transfer (the exposed cost of
+# the production particle-list stage) by ~20% in pure pad tail.
 _PAD_BUCKET_SMALL = 8192
-_PAD_BUCKET_LARGE = 1 << 20
+_PAD_BUCKET_LARGE = 1 << 17
+# pad margin over the expected kept count: covers the yield estimator's
+# bias bound (~5%, test_total_yield_matches_sampled) and chunk-0 sampling
+# noise on the measured path; 6 sigma is added separately.  Every padded
+# row is transferred and thrown away, so this is sized tight -- an overrun
+# self-heals through deferred validation (a synced rerun).
+_PAD_MARGIN = 1.15
 
 
 # ----------------------------------------------------------------------
@@ -1167,6 +1179,11 @@ def _finalize_device(out: dict, setup: SamplerSetup, cfg: Config,
             rap = 0.5 * jnp.log((E_lab + pz_lab) / (E_lab - pz_lab))
         eta_p = eta_cell
 
+    if lean:
+        # the species table is always < 65536 rows: u16 halves the
+        # transferred bytes of this column (the device->host link is the
+        # exposed cost of the production particle-list stage)
+        sp_idx = sp_idx.astype(jnp.uint16)
     res = {k: v for k, v in out.items()
            if k in _SUM_KEYS or k in ("overflow", "mcid", "mass_tab")}
     res.update(
@@ -1189,11 +1206,12 @@ _finalize_jit = jax.jit(_finalize_device, static_argnames=("cfg", "pad",
 
 
 @partial(jax.jit, static_argnames=("cfg", "capacity", "pad", "lean",
-                                   "species_draw"))
+                                   "species_draw", "ids16"))
 def _sample_finalize_jit(setup: SamplerSetup, species: SpeciesArrays,
                          mcid, tab_f, tab_i, cell_rate, key, cfg: Config,
                          capacity: int, n_events, ev0, pad: int | None,
-                         lean: bool, species_draw: str):
+                         lean: bool, species_draw: str,
+                         ids16: bool = False):
     """Hadron pipeline + kept-row finalize fused into ONE device program.
 
     The two-program split (sample, then finalize with a host-chosen pad)
@@ -1208,6 +1226,10 @@ def _sample_finalize_jit(setup: SamplerSetup, species: SpeciesArrays,
                               species_draw=species_draw)
     fin = _finalize_device(out, setup, cfg, pad=pad, lean=lean)
     fin["event"] = fin["event"] + ev0
+    if lean and ids16:
+        # campaign has <= 65535 events (static): u16 halves the event
+        # column's device->host bytes
+        fin["event"] = fin["event"].astype(jnp.uint16)
     return fin
 
 
@@ -1223,8 +1245,12 @@ def _finalize_chunk(out: dict, setup: SamplerSetup, cfg: Config,
     bucket = _PAD_BUCKET_SMALL if cap < (4 << 20) else _PAD_BUCKET_LARGE
     pad = max(bucket, -(-kept // bucket) * bucket)
     if pad >= cap:
-        return _finalize_jit(out, setup, cfg, None, lean)
-    return _finalize_jit(out, setup, cfg, pad, lean)
+        fin = _finalize_jit(out, setup, cfg, None, lean)
+    else:
+        fin = _finalize_jit(out, setup, cfg, pad, lean)
+        fin["rows_compacted"] = True
+    fin["kept_i"] = kept
+    return fin
 
 
 def _concat_chunks(chunks: list[dict]) -> dict:
@@ -1238,7 +1264,8 @@ def _concat_chunks(chunks: list[dict]) -> dict:
         elif k in ("mcid", "mass_tab", "cell_tau", "cell_x",
                    "cell_y"):  # (S,)/(cells,) tables, identical per chunk
             out[k] = chunks[0][k]
-        elif k in ("ev0", "n_ev"):  # per-chunk event spans (host ints)
+        elif k in ("ev0", "n_ev", "kept_i",
+                   "rows_compacted"):  # per-chunk host metadata
             continue
         else:
             out[k] = jnp.concatenate([ch[k] for ch in chunks])
@@ -1375,14 +1402,16 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
         return fin
 
     bucket = _PAD_BUCKET_SMALL if capacity < (4 << 20) else _PAD_BUCKET_LARGE
+    # u16 event ids on the device->host link whenever the campaign fits
+    ids16 = n_events <= 65535
 
     def bucketed_pad(kept_expect):
-        """1.25x + 6 sigma margin over an expected/measured chunk kept
+        """_PAD_MARGIN + 6 sigma over an expected/measured chunk kept
         count (chunk kepts are iid Poisson-binomial; overrun is detected
         and the chunk redone), rounded to the pad bucket so one compiled
         program covers statistically-varying chunks."""
-        p = int(kept_expect * 1.25 + 6.0 * np.sqrt(max(kept_expect, 1.0))
-                + 1024)
+        p = int(kept_expect * _PAD_MARGIN
+                + 6.0 * np.sqrt(max(kept_expect, 1.0)) + 1024)
         return min(max(bucket, -(-p // bucket) * bucket), capacity)
 
     def iter_chunks():
@@ -1423,8 +1452,9 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
                                        cdf_bucket, cell_rate, k, cfg,
                                        capacity, n_ev, ev0,
                                        pad if pad < capacity else None,
-                                       lean, "alias")
+                                       lean, "alias", ids16=ids16)
             fin["ev0"], fin["n_ev"], fin["_pad"] = ev0, n_ev, pad
+            fin["rows_compacted"] = pad < capacity
             pending.append((c, fin))
 
         nxt = start
@@ -1439,14 +1469,20 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
             # overrun reruns that chunk synchronously (same key -> same
             # Poisson counts); the measured kept count then raises the pad
             # for the chunks not yet dispatched
-            if bool(fin["overflow"]) or int(fin["kept"]) > fin["_pad"]:
+            kept_i = int(fin["kept"])
+            if bool(fin["overflow"]) or kept_i > fin["_pad"]:
                 retry_box[0] += 1
                 print(f"chunk {c}: deferred validation failed "
-                      f"(kept {int(fin['kept'])} / pad {fin['_pad']}); "
+                      f"(kept {kept_i} / pad {fin['_pad']}); "
                       f"rerunning", flush=True)
                 fin = run_chunk_synced(c)
                 pad_box[0] = max(pad_box[0],
                                  bucketed_pad(int(fin["kept"])))
+            else:
+                # kept rows sit ascending in [0:kept) of the pad buffer:
+                # consumers slice instead of masking (no keep column on
+                # the device->host link)
+                fin["kept_i"] = kept_i
             # top off the window BEFORE yielding: the device computes the
             # refill while the consumer transfers/formats this chunk
             if nxt < n_chunks:
@@ -1502,7 +1538,15 @@ class ChunkCollector:
     host-side -- 7 transferred hadron columns instead of 13 (the three
     per-cell position columns became ONE i32 cell_idx + a 1.2 MB cell
     table fetched once per campaign), which matters both for the
-    device->host link and for HBM read traffic in the finalize."""
+    device->host link and for HBM read traffic in the finalize.
+
+    The link is the EXPOSED cost of the production particle-list stage
+    (chunk compute dropped to ~3.4 s while the transfer is 13-20 s at 1e7
+    hadrons through the tunnel), so bytes/row is minimized further: event
+    and sp_idx ride as u16 when their ranges fit (always, for sp_idx), and
+    compacted chunks skip the keep column entirely -- the kept rows sit
+    ascending in [0:kept_i) and are SLICED host-side.  24 B/hadron-row
+    (4 f32 + 1 i32 + 2 u16) instead of 29."""
 
     _XFER = ("event", "sp_idx", "cell_idx", "eta", "px", "py", "pz")
     _FIELDS = ("event", "sp_idx", "tau", "x", "y", "eta", "px", "py", "pz",
@@ -1514,14 +1558,23 @@ class ChunkCollector:
         self._cell_tables = None
 
     def __call__(self, ch: dict) -> None:
-        host = jax.device_get({f: ch[f] for f in self._XFER
-                               + ("keep", "mcid", "mass_tab")})
+        # compacted chunks put the kept rows ascending in [0:kept_i): slice
+        # instead of transferring + applying the pad-width keep mask (the
+        # keep column is 1 byte/row of pure link traffic)
+        sliceable = ch.get("rows_compacted", False) and "kept_i" in ch
+        fields = self._XFER + (("mcid", "mass_tab") if sliceable
+                               else ("keep", "mcid", "mass_tab"))
+        host = jax.device_get({f: ch[f] for f in fields})
         if self._cell_tables is None:
             self._cell_tables = jax.device_get(
                 {f: ch[f] for f in ("cell_tau", "cell_x", "cell_y")})
         self._mcid_table = host["mcid"]
-        keep = host["keep"]
-        part = {f: host[f][keep] for f in self._XFER}
+        if sliceable:
+            kept = ch["kept_i"]
+            part = {f: host[f][:kept] for f in self._XFER}
+        else:
+            keep = host["keep"]
+            part = {f: host[f][keep] for f in self._XFER}
         ct = self._cell_tables
         dtype = part["px"].dtype
         ci = part.pop("cell_idx")

@@ -212,6 +212,8 @@ def sample_particles_meshed(surf, species_table, chosen_idx, df_data,
                               "cell_tau", "cell_x", "cell_y"):
             out_specs[k] = P()
 
+        ids16 = n_events <= 65535
+
         @partial(shard_map, mesh=mesh,
                  in_specs=(setup_spec, species_spec, P(), P(), P(), P(),
                            P(), P(AX), P(AX)),
@@ -231,6 +233,10 @@ def sample_particles_meshed(surf, species_table, chosen_idx, df_data,
                                    lean=lean)
             # device-local event ids -> global ids of this device's slice
             fin["event"] = fin["event"] + ev0_dev[0]
+            if lean and ids16:
+                # <= 65535 events: u16 halves the event column's
+                # device->host bytes (see sampler._sample_finalize_jit)
+                fin["event"] = fin["event"].astype(jnp.uint16)
             fin["overflow"] = jax.lax.psum(
                 overflow.astype(jnp.int32), AX)
             fin["pad_overrun"] = jax.lax.psum(
@@ -272,7 +278,7 @@ def sample_particles_meshed(surf, species_table, chosen_idx, df_data,
     bucket = _sampler_mod._PAD_BUCKET_SMALL
 
     def bucketed_pad(kept_dev_expect):
-        p = int(kept_dev_expect * 1.25
+        p = int(kept_dev_expect * _sampler_mod._PAD_MARGIN
                 + 6.0 * np.sqrt(max(kept_dev_expect, 1.0)) + 1024)
         return min(max(bucket, -(-p // bucket) * bucket), capacity)
 

@@ -416,6 +416,8 @@ def main():
                 peaks[name].append(ops / (time.time() - t0))
         peak = {k: max(v) for k, v in peaks.items()}
         k_best = min(kbest + [best])
+        # FMA+exp bound only (divides hide inside XLA 'flops' at the FMA
+        # peak) -> conservative utilization; see tools/roofline.py docstring
         t_bound = evals * (cost["flops_per_eval"] / peak["fma"]
                            + cost["transcendentals_per_eval"] / peak["exp"])
         roofline = {

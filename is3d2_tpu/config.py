@@ -86,8 +86,10 @@ class Config:
     # --- TPU-framework extensions (not in the reference) ---
     # compute dtype for the hot Cooper-Frye kernels: "f64" (accuracy
     # path, <=1e-6 golden vs the C++ reference), "f32" (TPU speed path,
-    # ~3e-6), or "f32c" (compensated fast path: <=1e-6 at ~1.5x the f32
-    # cost -- 2+1d df 1/2 spectra; other engines fall back to f32)
+    # ~3e-6), or "f32c" (compensated fast path: <=1e-6 at 0.99-1.0x the
+    # plain-f32 wall, measured interleaved A/B on the TPU -- the extra
+    # compensation flops hide behind the exp bound; 2+1d df 1/2 spectra,
+    # other engines fall back to f32)
     compute_dtype: str = "f64"
     # use the Pallas fused kernel where available (else pure-XLA path)
     use_pallas: bool = False

@@ -92,8 +92,10 @@ def _chunk_plan(surfs, surface_chunk, cfg: Config, block: int,
         raise ValueError(
             f"surface_chunk={surface_chunk} must be a multiple of the mesh "
             f"device count {mesh.devices.size}")
-    n_cells_pad = max(prepare_cells(s, cfg, block=block).n_padded
-                      for s in surfs)
+    # prepare_cells pads to ceil(n/block)*block (cells.py:113); computing
+    # that arithmetically avoids running the full host prep over every
+    # surface twice (once for the plan, once per chunk) at ensemble scale
+    n_cells_pad = max(-(-s.n_cells // block) * block for s in surfs)
     chunks, n_real = [], []
     for i in range(0, len(surfs), surface_chunk):
         chunk = list(surfs[i:i + surface_chunk])
@@ -198,7 +200,9 @@ def prepare_sampler_ensemble(surfs, species_table: SpeciesTable, chosen_idx,
     fast-mode densities, as each reference run would), stacked on the
     leading surface axis."""
     block = cell_block or cfg.cell_block
-    n_max = max(prepare_cells(s, cfg, block=block).n_padded for s in surfs)
+    # arithmetic n_padded (= ceil(n/block)*block, cells.py:113): running
+    # prepare_cells here just to learn the pad would double the host prep
+    n_max = max(-(-s.n_cells // block) * block for s in surfs)
     if n_cells_pad is not None:
         n_max = max(n_max, n_cells_pad)
 

@@ -1398,6 +1398,11 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
         if n_chunks > 1:
             out["event"] = out["event"] + ev0
         fin = _finalize_chunk(out, setup, cfg, lean)
+        if lean and ids16:
+            # same u16 cast as the pipelined _sample_finalize_jit path, so
+            # a campaign stream never mixes event-id dtypes across chunks
+            # (healed/synced chunks must agree with fused ones)
+            fin["event"] = fin["event"].astype(jnp.uint16)
         fin["ev0"], fin["n_ev"] = ev0, n_ev
         return fin
 

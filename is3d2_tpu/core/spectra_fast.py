@@ -477,8 +477,9 @@ def _spectra_fast_jit(per_cell: dict, mom, eta, eta_w, cfg: Config,
 #
 # Residual error: the f32 exp intrinsic (~1 ulp, 6e-8 relative) plus ~1e-7
 # linear f32 noise -- validated <= 1e-6 vs the f64 broadcast kernel
-# (tests/test_spectra_fast.py::test_compensated_accuracy), at ~1.5x the
-# plain-f32 cost (~45 extra VPU flops on an ~80-flop chain).  This is the
+# (tests/test_spectra_fast.py::test_compensated_accuracy), at 0.99-1.0x
+# the plain-f32 WALL measured interleaved on the TPU (the ~45 extra VPU
+# flops hide behind the exp/issue bound).  This is the
 # path that meets the BASELINE accuracy bar (<=1e-6) and the speed bar at
 # once; select with compute_dtype = "f32c".  2+1d df 1/2 (the north-star
 # spectra stage); other engines keep the dual-bar (f32 fast / f64 exact)
@@ -703,10 +704,14 @@ def fold_eta_quadrature(cells: CellArrays, grid: MomentumGridDevice,
       * the node/weight table is symmetric;
       * un == 0 everywhere (u.p sits inside exp: its odd part must vanish
         pointwise, not just in the sum);
+      * dan == 0 OR every ACTIVE odd delta-f source (pitn/pixn/piyn when
+        shear df is on, Vn when baryon diffusion is on) is zero -- the
+        odd(dan)*odd(df) product in (p.dsigma)*feq*(1+df) is EVEN in eta
+        and survives the full quadrature, so zeroing both would drop it;
       * outflow off OR dan == 0 (the outflow Theta(p.dsigma) is pointwise
         nonlinear in the odd dan term);
-      * delta-f regulation off OR all odd delta-f sources zero (the
-        |df| <= 1 clip is pointwise nonlinear).
+      * delta-f regulation off OR all active odd delta-f sources zero
+        (the |df| <= 1 clip is pointwise nonlinear).
     The even part is selected by zeroing the odd source fields
     (dan/pitn/pixn/piyn/Vn) on the copy of ``cells`` used for this engine
     call; un is already exactly zero by the gate.
@@ -746,16 +751,23 @@ def fold_eta_quadrature(cells: CellArrays, grid: MomentumGridDevice,
     else:
         if un_mx != 0.0:
             return cells, grid, False
+        odd_df = 0.0
+        if cfg.include_shear_deltaf:
+            odd_df = max(pitn_mx, pixn_mx, piyn_mx)
+        if cfg.include_baryon and cfg.include_baryondiff_deltaf:
+            odd_df = max(odd_df, vn_mx)
+        # The integrand is (p.dsigma) * feq * (1 + df): with BOTH an odd
+        # p.dsigma term (dan) and an odd df source active, their product
+        # odd(dan)*odd(df) is EVEN in eta and survives the full symmetric
+        # quadrature -- zeroing both families would silently drop it, so
+        # at most one family may be nonzero (regardless of outflow /
+        # regulation, which only add further pointwise nonlinearities).
+        if dan_mx != 0.0 and odd_df != 0.0:
+            return cells, grid, False
         if cfg.outflow and dan_mx != 0.0:
             return cells, grid, False
-        if cfg.regulate_deltaf:
-            odd_df = 0.0
-            if cfg.include_shear_deltaf:
-                odd_df = max(pitn_mx, pixn_mx, piyn_mx)
-            if cfg.include_baryon and cfg.include_baryondiff_deltaf:
-                odd_df = max(odd_df, vn_mx)
-            if odd_df != 0.0:
-                return cells, grid, False
+        if cfg.regulate_deltaf and odd_df != 0.0:
+            return cells, grid, False
 
     half = n // 2
     fold_eta = es[half + (n % 2):]

@@ -172,6 +172,39 @@ def test_strict_fold_gate_requires_all_zero(setup):
     assert not folded2
 
 
+def test_fold_gate_refuses_dan_with_odd_df_cross_term(setup):
+    """dan AND odd shear together: odd(dan)*odd(df) is EVEN in eta and
+    survives the reference's full symmetric quadrature, so the fold (which
+    zeroes both families) must refuse even with outflow and regulation
+    both off.  Also verifies the refusal is load-bearing: force-folding by
+    hand-zeroing the odd sources changes the f64 result far above 1e-12."""
+    species, grids, df_data, surf, cfg, chosen = setup
+    cells, coeffs, sp, grid = _cells_grid(setup, cfg)
+    rng = np.random.default_rng(7)
+    cells = _inject_odd_shear(cells)
+    cells = dataclasses.replace(
+        cells, dan=jnp.asarray(rng.uniform(-0.02, 0.02, cells.n_padded))
+        * cells.pad_mask)
+    cfg64 = dataclasses.replace(cfg, compute_dtype="f64")
+    assert not cfg64.outflow and not cfg64.regulate_deltaf
+    _, _, folded = fold_eta_quadrature(cells, grid, cfg64)
+    assert not folded, "gate must refuse dan + odd df together"
+
+    # the would-be fold (zero both odd families, half nodes) drops the
+    # even cross term: demonstrate a real deviation on the f64 kernel
+    n_blocks = cells.n_padded // 32
+    ref = _spectra_df12_jit(cells, coeffs, sp, grid, cfg64, n_blocks)
+    zeros = jnp.zeros_like(cells.dan)
+    zcells = dataclasses.replace(cells, dan=zeros, pitn=zeros, pixn=zeros,
+                                 piyn=zeros, Vn=zeros)
+    _, fgrid, zfolded = fold_eta_quadrature(zcells, grid, cfg64)
+    assert zfolded
+    bad = _spectra_df12_jit(zcells, coeffs, sp, fgrid, cfg64, n_blocks)
+    r, b = np.asarray(ref), np.asarray(bad)
+    assert np.max(np.abs(b - r)) / np.abs(r).max() > 1e-9, \
+        "cross term unexpectedly negligible; gate test not load-bearing"
+
+
 def test_fold_allows_dan_without_outflow(setup):
     """dan's odd term sits outside the exp and the clip: it folds away
     exactly when outflow is off."""

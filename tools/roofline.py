@@ -2,8 +2,10 @@
 """Empirical VPU roofline for the Cooper-Frye fast kernel (VERDICT r3 #4).
 
 The CF chain is elementwise (VPU) work: XLA cost analysis of the production
-f32c program gives ~94 f32 flops + 1 exp + 1 divide per integrand eval
-(the contractions' K is 4/10, far too small for the MXU -- see
+eta-folded f32c program gives ~46.6 f32 flops + 0.5 exp per NOMINAL-grid
+integrand eval (the folded kernel computes half the nominal eta nodes, so
+per-eval counts on the nominal basis are ~half the per-body counts; the
+contractions' K is 4/10, far too small for the MXU -- see
 core/spectra_fast._contract).  Three rounds of a flat ~4.0e10 evals/s
 headline need a *bound* statement, but public per-unit peaks for the v5e
 VPU/transcendental path aren't in the TPU docs, so this script MEASURES
@@ -23,8 +25,15 @@ only same-process interleaved ratios are comparable, see CLAUDE.md) and
 reports utilization: the kernel's measured VPU-op issue rate as a fraction
 of the measured peak for its op mix,
 
-  time_bound = flops/FMA_peak + exps/exp_peak + divs/div_peak
+  time_bound = flops/FMA_peak + exps/exp_peak
   utilization = time_bound / time_measured.
+
+The bound is deliberately FMA+exp only: XLA cost analysis folds divides
+into 'flops' (1 flop each) without a separate count, so the feq divide is
+charged at the FMA peak.  The divide peak is still measured and reported
+(it is ~11x slower than FMA), which makes the bound -- and therefore the
+reported utilization -- CONSERVATIVE: the true op-mix bound is larger, so
+the kernel is at least as close to the ceiling as the number claims.
 
 If utilization is near 1 the headline is VPU-bound and the flat trend is
 the hardware ceiling; the remaining levers reduce WORK (species grouping,
@@ -277,7 +286,10 @@ def measure_roofline(n_cells=16384, rounds=3):
         log(f"peak {k}: {peak[k]:.3e} ops/s")
 
     rate = evals / k_best
-    # op-mix lower bound on the kernel's time from the measured peaks
+    # op-mix lower bound on the kernel's time from the measured peaks.
+    # FMA+exp only by design: divides hide inside 'flops' charged at the
+    # FMA peak, so the bound (and utilization) is conservative -- see the
+    # module docstring.
     t_bound = evals * (cost["flops_per_eval"] / peak["fma"]
                        + cost["transcendentals_per_eval"] / peak["exp"])
     util = t_bound / k_best

@@ -91,8 +91,13 @@ class Config:
     # compensation flops hide behind the exp bound; 2+1d df 1/2 spectra,
     # other engines fall back to f32)
     compute_dtype: str = "f64"
-    # use the Pallas fused kernel where available (else pure-XLA path)
-    use_pallas: bool = False
+    # Pallas fused kernels: -1 = auto (the compensated df-1/2 spectra
+    # kernel on an accelerator backend -- it measured 0.68x the XLA f32c
+    # wall at the SAME <=1e-6 accuracy class, tools/pallas_sweep.py
+    # 2026-08-19; everything else stays on the XLA paths), 0 = off,
+    # 1 = force all Pallas kernels (df 1/2 split/comp + feqmod/famod;
+    # interpret mode on CPU backends)
+    use_pallas: int = -1
     # number of freezeout cells per device block in the CF reduction
     cell_block: int = 4096
     # max envelope hadrons per sampler chunk: an oversampling campaign is
@@ -147,7 +152,10 @@ class Config:
             elif name in ("compute_dtype",):
                 values[name] = val
             elif name in ("use_pallas",):
-                values[name] = val not in ("0", "false", "False")
+                # accepts the legacy booleans and the tri-state ints
+                values[name] = (0 if val in ("0", "false", "False")
+                                else 1 if val in ("true", "True")
+                                else int(float(val)))
             else:
                 values[name] = float(val)
         return cls(**values)  # type: ignore[arg-type]

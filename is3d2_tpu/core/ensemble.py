@@ -226,6 +226,138 @@ def prepare_sampler_ensemble(surfs, species_table: SpeciesTable, chosen_idx,
     return _stack(setups), species
 
 
+def sample_ensemble_particle_lists(surfs, species_table: SpeciesTable,
+                                   chosen_idx, df_data: DeltafData,
+                                   cfg: Config, laguerre: GaussLaguerre,
+                                   events_per_surface: int, capacity: int,
+                                   results_root, seed: int = 1,
+                                   cell_block: int | None = None,
+                                   mesh: Mesh | None = None,
+                                   surface_chunk: int | None = None,
+                                   oscar: bool = True, csv: bool = False,
+                                   _surf_offset: int = 0,
+                                   _n_cells_pad: int | None = None):
+    """MC-sample every surface and write PER-SURFACE particle-list event
+    files -- the production output of the reference's multi-surface
+    campaign, where each looped binary writes its own OSCAR lists into its
+    own sandbox (scripts/oversample.sh:7-13, run_multithread_sampling_iS3D
+    .py:18-31, EmissionFunction.cpp:1279-1291).  Surface ``i`` writes
+    ``results_root/surface_<i>/particle_list_osc_<ev>.dat`` for events
+    0..events_per_surface-1, via the same StreamingEventWriter as the
+    single-surface op-2 path.
+
+    Batched on device exactly like sample_ensemble_histograms (vmapped
+    sampler + lean finalize, fold_in'd per-surface RNG streams keyed by the
+    GLOBAL surface index, optional ``mesh`` sharding of the surface axis,
+    ``surface_chunk`` memory bounding, single-surface overflow healing);
+    each chunk's batched kept rows transfer host-side in ONE device_get and
+    are sliced per surface for the writers.
+
+    Returns a list of per-surface dicts
+    ``{"dir", "rows_written", "events_written", "kept"}``.
+    """
+    from pathlib import Path
+
+    from ..io.output import StreamingEventWriter
+
+    results_root = Path(results_root)
+    if surface_chunk is not None and surface_chunk < len(surfs):
+        block = cell_block or cfg.cell_block
+        chunks, n_real, n_pad = _chunk_plan(surfs, surface_chunk, cfg, block,
+                                            mesh)
+        stats = []
+        for ci, (ch, k) in enumerate(zip(chunks, n_real)):
+            stats.extend(sample_ensemble_particle_lists(
+                ch, species_table, chosen_idx, df_data, cfg, laguerre,
+                events_per_surface, capacity, results_root, seed, cell_block,
+                mesh, None, oscar, csv,
+                _surf_offset + ci * surface_chunk, n_pad)[:k])
+        return stats
+
+    setups, species = prepare_sampler_ensemble(surfs, species_table,
+                                               chosen_idx, df_data, cfg,
+                                               laguerre, cell_block,
+                                               _n_cells_pad)
+    mcid = jnp.asarray(species_table.mc_id[np.asarray(chosen_idx)])
+    n_surf = len(surfs)
+    keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.PRNGKey(seed), i)
+                    )(_surf_offset + jnp.arange(n_surf))
+
+    f32 = jnp.float32
+
+    def cast(tree):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(f32)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a, tree)
+
+    rates64 = setups.rates
+    setups = dataclasses.replace(cast(setups), rates=rates64)
+    species = cast(species)
+
+    # the per-surface fields the StreamingEventWriter/ChunkCollector
+    # consumes (lean finalize layout: positions reconstruct from cell_idx)
+    _FIELDS = ("keep", "event", "sp_idx", "cell_idx", "eta", "px", "py",
+               "pz", "mcid", "mass_tab", "cell_tau", "cell_x", "cell_y",
+               "kept", "overflow", "total")
+
+    def one(setup, key, cap):
+        cdf_flat, cdf_bucket, cell_rate = _species_cdf(setup.rates)
+        out = _sample_hadrons_jit(setup, species, mcid, cdf_flat, cdf_bucket,
+                                  cell_rate, key, cfg, cap,
+                                  events_per_surface)
+        fin = _finalize_device(out, setup, cfg, lean=True)
+        return {k: fin[k] for k in _FIELDS}
+
+    batch = lambda s_l, k_l: jax.vmap(lambda s, k: one(s, k, capacity)
+                                      )(s_l, k_l)
+    if mesh is None:
+        fins = batch(setups, keys)
+    else:
+        axis = mesh.axis_names[0]
+        specs = (jax.tree_util.tree_map(lambda _: P(axis), setups), P(axis))
+        run = partial(shard_map, mesh=mesh, in_specs=specs,
+                      out_specs=P(axis), check_vma=False)(batch)
+        fins = run(setups, keys)
+
+    # ONE bulk transfer per chunk (eager per-surface device slicing would
+    # pay a tunnel round trip per leaf per surface)
+    host = jax.device_get(fins)
+
+    def write_surface(i, part, kept_i):
+        writer = StreamingEventWriter(
+            results_root / f"surface_{_surf_offset + i}", oscar=oscar,
+            csv=csv)
+        chunk = dict(part)
+        chunk["ev0"], chunk["n_ev"] = 0, events_per_surface
+        writer(chunk)
+        return {"dir": str(writer.results_dir),
+                "rows_written": writer.rows_written,
+                "events_written": writer.events_written,
+                "kept": kept_i}
+
+    stats = []
+    overflow = np.asarray(host["overflow"])
+    for i in range(n_surf):
+        if overflow[i]:
+            # heal by re-running this surface singly at its exact grown
+            # Poisson total (the counts depend only on key and rates)
+            total = int(host["total"][i])
+            cap = total + max(total // 64, 1024)
+            cap = 1 << (cap - 1).bit_length()
+            setup_i = jax.tree_util.tree_map(lambda a: a[i], setups)
+            fin_i = one(setup_i, keys[i], cap)
+            part = jax.device_get(fin_i)
+            if bool(part["overflow"]):
+                raise RuntimeError(
+                    f"ensemble surface {i} still overflows at capacity "
+                    f"{cap} (total {total})")
+        else:
+            part = {k: host[k][i] for k in _FIELDS}
+        stats.append(write_surface(i, part, int(part["kept"])))
+    return stats
+
+
 def sample_ensemble_histograms(surfs, species_table: SpeciesTable, chosen_idx,
                                df_data: DeltafData, cfg: Config,
                                laguerre: GaussLaguerre,

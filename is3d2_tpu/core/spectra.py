@@ -87,6 +87,19 @@ class MomentumGridDevice:
                    y=y, eta=eta, eta_weight=eta_w)
 
 
+def _pallas_comp_enabled(cfg: Config) -> bool:
+    """Resolve the tri-state cfg.use_pallas for the df-1/2 compensated
+    kernel: -1 = auto (on when the backend is an accelerator; on CPU the
+    kernel runs in interpret mode, far slower than the XLA fast path),
+    0 = off, 1 = on everywhere (tests force it on the CPU backend)."""
+    if cfg.use_pallas == 0:
+        return False
+    if cfg.use_pallas == 1 or cfg.use_pallas is True:
+        return True
+    return jax.default_backend() != "cpu"
+
+
+
 def _momentum_tensors(cells_blk, grid: MomentumGridDevice, species: SpeciesArrays,
                       dimension: int, eta_scale=None):
     """Common kinematic tensors for one cell block.
@@ -338,9 +351,24 @@ def compute_spectra(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
 
     if cfg.df_mode in (1, 2):
         coeffs = df12_cell_coefficients(cells, df_data, cfg)
-        if cfg.compute_dtype == "f32c" and cfg.dimension == 2:
-            # compensated fast path: <=1e-6 (the BASELINE accuracy bar) at
-            # ~1.5x the f32 fast-path cost (spectra_fast.py "f32c" notes)
+        if (_pallas_comp_enabled(cfg) and cfg.dimension == 2
+                and mesh is None and cfg.compute_dtype in ("f32", "f32c")):
+            # PRODUCTION DEFAULT on accelerator backends (use_pallas = -1
+            # auto): the compensated-argument Pallas kernel carries the
+            # <=1e-6 accuracy bar AND measured 0.68x the XLA f32c wall
+            # (1.16e11 vs 7.9e10 evals/s, interleaved sweep 2026-08-19,
+            # docs/pallas_sweep_comp_2026-08-19.json) -- the hand-written
+            # backend is the flagship, like the reference's CUDA kernels
+            # (emissionfunction.cu:152-451).  (256, 512) tiles: c_tile=512
+            # with m_tile>=512 exceeds VMEM (the TwoSum chain temporaries).
+            from ..ops.spectra_fast_common import compute_spectra_pallas
+            out = compute_spectra_pallas(cells, coeffs, species, grid, cfg,
+                                         c_tile=256, m_tile=512,
+                                         dot_impl="comp")
+        elif cfg.compute_dtype == "f32c" and cfg.dimension == 2:
+            # compensated XLA fast path: <=1e-6 (the BASELINE accuracy
+            # bar) at 0.99-1.0x the plain-f32 wall; the meshed and
+            # CPU-backend carrier of the accuracy+speed combination
             from .spectra_fast import compute_spectra_fast
             if mesh is not None:
                 from ..parallel.sharding import sharded_spectra_fast
@@ -355,7 +383,7 @@ def compute_spectra(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
                                            cfg, n_blocks=n_blocks,
                                            compute_dtype="f32c",
                                            n_species_blocks=n_sp_blocks)
-        elif cfg.use_pallas and cfg.dimension == 2:
+        elif cfg.use_pallas == 1 and cfg.dimension == 2:
             # fused Pallas kernel (f32 compute, f64 accumulation)
             from ..ops.spectra_fast_common import compute_spectra_pallas
             out = compute_spectra_pallas(cells, coeffs, species, grid, cfg)
@@ -393,7 +421,7 @@ def compute_spectra(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
         fq = prepare_feqmod(cells, species, df_data, cfg, laguerre)
         if report is not None:
             report.record_breakdown(fq.breaks_down, cells.tau, cells.mask)
-        if cfg.use_pallas and cfg.dimension == 2:
+        if cfg.use_pallas == 1 and cfg.dimension == 2:
             # fused Pallas kernel (f32 compute, f64 accumulation)
             from ..ops.cooper_frye_feqmod_pallas import (
                 compute_spectra_feqmod_pallas)
@@ -422,7 +450,7 @@ def compute_spectra(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
             report.record_breakdown(fm.breaks_down, cells.tau, cells.mask,
                                     pl_negative=fm.pl_negative,
                                     recon_failed=fm.recon_failed)
-        if cfg.use_pallas and cfg.dimension == 2:
+        if cfg.use_pallas == 1 and cfg.dimension == 2:
             from ..ops.cooper_frye_feqmod_pallas import (
                 compute_spectra_feqmod_pallas)
             out = compute_spectra_feqmod_pallas(cells, fm, species, grid, cfg)

@@ -106,6 +106,92 @@ def pack_inputs(cells: CellArrays, coeffs: dict, species: SpeciesArrays,
     return q, cols, mom, eta_pack, M, Ne
 
 
+def pack_inputs_comp(cells: CellArrays, coeffs: dict, species: SpeciesArrays,
+                     grid: MomentumGridDevice, cfg: Config,
+                     c_tile: int = 512, m_tile: int = 512):
+    """Operands for the compensated-argument kernel (_kernel_comp): the
+    standard pack plus 12-bit-split argument pieces prepared in f64 on the
+    host, exactly core/spectra_fast._cell_Q_comp / momentum_matrix_comp
+    reshaped for VMEM tiles:
+
+      cols (C, 16): columns 9..15 gain [qx1, qx2, qy1, qy2, abf, abl, Tf]
+      qm1/qm2 (C, Ne_lane): per-(cell, eta) split E-coefficients of mT
+        (the eta hyperbolics fold into the cell side so qm*mT1 is exact)
+      mom (16, M): [mT1, mT2, mTf, px1, px2, pxf, py1, py2, pyf,
+        mass2, baryon, sign, 0...]
+    """
+    from ..core.spectra_fast import _split12
+
+    f32 = jnp.float32
+    f64 = jnp.float64
+    q, cols, _, eta_pack, M, Ne = pack_inputs(cells, coeffs, species, grid,
+                                              cfg, c_tile, m_tile)
+    c = cells
+    C = c.n_padded
+    C_pad = q.shape[0]
+
+    def pad_c(a, fill=0.0):
+        a = jnp.asarray(a, f32)
+        return jnp.pad(a, (0, C_pad - C), constant_values=fill)
+
+    invT = 1.0 / c.T.astype(f64)
+    eta64 = grid.eta.astype(f64)
+    cosh_e = jnp.cosh(eta64)[None, :]                  # (1, Ne)
+    sinh_e = (-jnp.sinh(eta64))[None, :]               # y = 0: Delta = -eta
+    qm64 = (c.ut.astype(f64)[:, None] * cosh_e
+            - (c.tau * c.un).astype(f64)[:, None] * sinh_e) \
+        * invT[:, None]                                # (C, Ne)
+    qm1, qm2 = _split12(qm64)
+    ne_lane = 16 if Ne <= 16 else _round_up(Ne, 128)
+    # tile-padding cells get a large positive coefficient (like Q_E's
+    # ut = 50 pad): A ~ 50 mT1 drives feq -> 0 instead of a boson NaN
+    qm1 = jnp.pad(qm1, ((0, C_pad - C), (0, ne_lane - Ne)),
+                  constant_values=0.0)
+    qm1 = qm1.at[C:, :].set(50.0)
+    qm2 = jnp.pad(qm2, ((0, C_pad - C), (0, ne_lane - Ne)),
+                  constant_values=0.0)
+
+    qx1, qx2 = _split12(-c.ux.astype(f64) * invT)
+    qy1, qy2 = _split12(-c.uy.astype(f64) * invT)
+    abf, abl = _split12(c.alphaB.astype(f64))
+    comp_cols = jnp.stack([pad_c(qx1), pad_c(qx2), pad_c(qy1), pad_c(qy2),
+                           pad_c(abf), pad_c(abl), pad_c(c.T, 1.0)], axis=1)
+    cols = jnp.concatenate([cols[:, :9], comp_cols], axis=1)   # (C_pad, 16)
+
+    # split momentum rows (momentum_matrix_comp layout, padded/tiled)
+    mT64 = jnp.sqrt(species.mass[:, None].astype(f64) ** 2
+                    + grid.pT[None, :].astype(f64) ** 2)
+    S, NpT = mT64.shape
+    Nphi = grid.cos_phi.shape[0]
+    M_pad = _round_up(M, m_tile)
+
+    def flat(a):
+        return jnp.broadcast_to(a, (S, NpT, Nphi)).reshape(M)
+
+    def pad_m(a, fill):
+        return jnp.pad(jnp.asarray(a, f32), (0, M_pad - M),
+                       constant_values=fill)
+
+    px64 = flat((grid.pT[:, None] * grid.cos_phi[None, :]
+                 ).astype(f64)[None])
+    py64 = flat((grid.pT[:, None] * grid.sin_phi[None, :]
+                 ).astype(f64)[None])
+    mT1, mT2 = _split12(flat(mT64[:, :, None]))
+    px1, px2 = _split12(px64)
+    py1, py2 = _split12(py64)
+    zero_m = jnp.zeros(M_pad, f32)
+    mom = jnp.stack([
+        pad_m(mT1, 1.0), pad_m(mT2, 0.0), pad_m(flat(mT64[:, :, None]), 1.0),
+        pad_m(px1, 0.0), pad_m(px2, 0.0), pad_m(px64, 0.0),
+        pad_m(py1, 0.0), pad_m(py2, 0.0), pad_m(py64, 0.0),
+        pad_m(flat((species.mass ** 2)[:, None, None]), 1.0),
+        pad_m(flat(species.baryon[:, None, None]), 0.0),
+        pad_m(flat(species.sign[:, None, None]), -1.0),
+        zero_m, zero_m, zero_m, zero_m,
+    ])
+    return q, cols, qm1, qm2, mom, eta_pack, M, Ne
+
+
 def compute_spectra_pallas(cells: CellArrays, coeffs: dict,
                            species: SpeciesArrays, grid: MomentumGridDevice,
                            cfg: Config, c_tile: int = 512, m_tile: int = 512,
@@ -138,14 +224,23 @@ def compute_spectra_pallas(cells: CellArrays, coeffs: dict,
     from ..core.spectra_fast import fold_eta_quadrature
     cells, grid, _ = fold_eta_quadrature(cells, grid, cfg)
 
-    q, cols, mom, eta_pack, M, Ne = pack_inputs(cells, coeffs, species, grid,
-                                                cfg, c_tile, m_tile)
-    if precision is None:
-        precision = jax.lax.Precision.HIGHEST
-    flat = cooper_frye_pallas(q, cols, mom, eta_pack, cfg,
-                              c_tile=c_tile, m_tile=m_tile, n_eta=Ne,
-                              interpret=interpret, precision=precision,
-                              dot_impl=dot_impl)[:M]
+    if dot_impl == "comp":
+        # compensated-argument kernel: <=1e-6 class (see _kernel_comp)
+        from .cooper_frye_pallas import cooper_frye_pallas_comp
+        q, cols, qm1, qm2, mom, eta_pack, M, Ne = pack_inputs_comp(
+            cells, coeffs, species, grid, cfg, c_tile, m_tile)
+        flat = cooper_frye_pallas_comp(q, cols, qm1, qm2, mom, eta_pack,
+                                       cfg, c_tile=c_tile, m_tile=m_tile,
+                                       n_eta=Ne, interpret=interpret)[:M]
+    else:
+        q, cols, mom, eta_pack, M, Ne = pack_inputs(cells, coeffs, species,
+                                                    grid, cfg, c_tile, m_tile)
+        if precision is None:
+            precision = jax.lax.Precision.HIGHEST
+        flat = cooper_frye_pallas(q, cols, mom, eta_pack, cfg,
+                                  c_tile=c_tile, m_tile=m_tile, n_eta=Ne,
+                                  interpret=interpret, precision=precision,
+                                  dot_impl=dot_impl)[:M]
     S = species.mass.shape[0]
     NpT = grid.pT.shape[0]
     Nphi = grid.cos_phi.shape[0]

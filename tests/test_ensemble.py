@@ -286,3 +286,66 @@ def test_ensemble_chunked_sharded(reference_dir):
     with pytest.raises(ValueError, match="multiple of the mesh"):
         compute_spectra_ensemble(surfs, species, chosen, grids, df_data,
                                  cfg, mesh=mesh, surface_chunk=6)
+
+
+def test_ensemble_particle_list_export(reference_dir, tmp_path):
+    """Per-surface particle-list (event-file) output for ensembles: the
+    reference's multi-surface campaign writes OSCAR lists per looped binary
+    (scripts/oversample.sh:7-13, EmissionFunction.cpp:1279-1291).  Checks
+    exact per-surface file/row counts, statistical agreement with the
+    single-surface sample_particles path, and chunking invariance."""
+    from is3d2_tpu.io.tables import GaussLaguerre
+    from is3d2_tpu.core.ensemble import sample_ensemble_particle_lists
+    from is3d2_tpu.core.sampler import sample_particles
+
+    species = read_pdg(3, reference_dir / "PDG")
+    laguerre = GaussLaguerre.from_file(
+        reference_dir / "tables/gauss/gla_roots_weights.txt")
+    tables = DeltafTables.load(3, include_baryon=False,
+                               base_dir=reference_dir / "deltaf_coefficients/vh")
+    cfg = Config(operation=2, df_mode=1, hrg_eos=3, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, fast=1, y_cut=5.0, cell_block=16)
+    df_data = DeltafData(tables, 1, include_baryon=False)
+    chosen = species.chosen_indices(PIKP)
+
+    n_ev = 50
+    surfs = [make_surface(16, seed=800 + i, shear_scale=0.02)
+             for i in range(3)]
+    root = tmp_path / "ens"
+    stats = sample_ensemble_particle_lists(
+        surfs, species, chosen, df_data, cfg, laguerre,
+        events_per_surface=n_ev, capacity=65536, results_root=root, seed=17)
+    assert len(stats) == 3
+
+    def read_rows(d):
+        files = sorted(Path(d).glob("particle_list_osc_*.dat"))
+        rows = 0
+        for f in files:
+            lines = f.read_text().splitlines()
+            assert lines[0].lstrip().startswith("n pid")  # OSCAR header
+            rows += len(lines) - 1
+        return len(files), rows
+
+    for i, st in enumerate(stats):
+        n_files, rows = read_rows(st["dir"])
+        assert n_files == n_ev, f"surface {i}: {n_files} event files"
+        assert rows == st["kept"] == st["rows_written"], \
+            f"surface {i}: file rows {rows} vs kept {st['kept']}"
+        assert st["events_written"] == n_ev
+
+    # statistical match vs the single-surface production path (independent
+    # RNG streams; kept counts are Poisson-binomial with ~1e3 hadrons)
+    out = sample_particles(surfs[0], species, chosen, df_data, cfg,
+                           laguerre, n_events=n_ev, seed=23, capacity=65536)
+    kept_single = int(out["kept"])
+    assert kept_single > 100
+    np.testing.assert_allclose(stats[0]["kept"], kept_single, rtol=0.3)
+
+    # chunking invariance: per-surface RNG streams key on the GLOBAL index,
+    # so a surface_chunk=2 run reproduces the unchunked kept counts exactly
+    root2 = tmp_path / "ens_chunked"
+    stats2 = sample_ensemble_particle_lists(
+        surfs, species, chosen, df_data, cfg, laguerre,
+        events_per_surface=n_ev, capacity=65536, results_root=root2,
+        seed=17, surface_chunk=2)
+    assert [s["kept"] for s in stats2] == [s["kept"] for s in stats]

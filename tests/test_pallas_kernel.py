@@ -139,6 +139,41 @@ def test_use_pallas_config_dispatch(reference_dir, df_mode):
 
 
 @pytest.mark.parametrize("df_mode", [1, 2])
+def test_pallas_comp_kernel_meets_accuracy_bar(reference_dir, df_mode):
+    """dot_impl="comp" (the compensated-argument kernel, _kernel_comp)
+    meets the BASELINE <=1e-6 bar against the f64 reference engine in
+    interpret mode: the exp argument is split-exact (the f32c trick inside
+    VMEM), the linear contractions are f32 FMA chains, pi pp keeps a
+    HIGHEST dot, and accumulation is TwoSum-compensated end to end.  CPU
+    interpret DEFAULT dots are plain f32 (no bf16 rounding), so the
+    on-silicon bound is re-checked by test_pallas_tpu.py."""
+    species_t = read_pdg(3, reference_dir / "PDG")
+    grids = MomentumGrids.from_dir(reference_dir / "tables")
+    tables = DeltafTables.load(3, include_baryon=False,
+                               base_dir=reference_dir / "deltaf_coefficients/vh")
+    surf = make_surface(48, seed=29, shear_scale=0.03, bulk_scale=0.01)
+    cfg = Config(operation=1, df_mode=df_mode, hrg_eos=3,
+                 include_shear_deltaf=1, include_bulk_deltaf=1, cell_block=64,
+                 compute_dtype="f64")
+    df_data = DeltafData(tables, df_mode, include_baryon=False)
+    chosen = species_t.chosen_indices(PIKP)
+
+    ref = compute_spectra(surf, species_t, chosen, grids, df_data, cfg)
+    cells = prepare_cells(surf, cfg, block=64)
+    coeffs = df12_cell_coefficients(cells, df_data, cfg)
+    species = SpeciesArrays.from_table(species_t, chosen)
+    grid = MomentumGridDevice.from_grids(grids, cfg.dimension)
+
+    out = np.asarray(compute_spectra_pallas(cells, coeffs, species, grid, cfg,
+                                            c_tile=32, m_tile=256,
+                                            interpret=True, dot_impl="comp"))
+    scale = np.abs(ref).max()
+    sig = np.abs(ref) > 1e-8 * scale
+    err = (np.abs(out - ref) / np.maximum(np.abs(ref), 1e-300))[sig].max()
+    assert err < 1e-6, f"pallas comp kernel err {err:.2e}"
+
+
+@pytest.mark.parametrize("df_mode", [1, 2])
 def test_pallas_split_dot_matches(reference_dir, df_mode):
     """dot_impl="split" (the 2/3-pass exact-bf16-split MXU dots, the
     production default since the 2026-08-19 on-silicon sweep) matches the

@@ -120,6 +120,34 @@ def test_pallas_tpu_feqmod(reference_dir, df_mode):
     assert err < 1e-4, f"on-TPU pallas feqmod df{df_mode} err {err:.2e}"
 
 
+@pytest.mark.parametrize("df_mode", [1, 2])
+def test_pallas_tpu_comp_accuracy_bar(reference_dir, df_mode):
+    """The compensated-argument kernel (dot_impl="comp") on silicon vs the
+    f32c XLA path (the <=1e-6 golden-tested carrier).  Both sides are
+    <=1e-6 of the f64 truth, so their mutual distance must stay <=2e-6 --
+    this checks the real bf16 MXU rounding of the comp kernel's 2-pass
+    split cell reduction and the Mosaic lowering of the unrolled TwoSum
+    chains, which interpret mode cannot."""
+    from is3d2_tpu.core.spectra import df12_cell_coefficients
+    from is3d2_tpu.core.spectra_fast import compute_spectra_fast
+    from is3d2_tpu.ops.spectra_fast_common import compute_spectra_pallas
+
+    if not _is_tpu():
+        pytest.skip("no TPU device")
+    (_, cfg, df_data, _, _, cells, species, grid) = _setup(
+        df_mode, reference_dir)
+    coeffs = df12_cell_coefficients(cells, df_data, cfg)
+    ref = np.asarray(compute_spectra_fast(cells, coeffs, species, grid, cfg,
+                                          n_blocks=1,
+                                          compute_dtype="f32c"))
+    out = np.asarray(compute_spectra_pallas(cells, coeffs, species, grid,
+                                            cfg, c_tile=128, m_tile=512,
+                                            interpret=False,
+                                            dot_impl="comp"))
+    err = _rel_err(out, ref)
+    assert err < 2e-6, f"on-TPU pallas comp df{df_mode} err {err:.2e}"
+
+
 def test_pallas_tpu_split_dot(reference_dir):
     """The 2/3-pass exact-bf16-split dots (dot_impl="split") on silicon:
     real bf16 MXU rounding, parity vs the XLA fast path.  The split halves

@@ -95,3 +95,16 @@ def test_spectra_df12_vs_oracle(golden_env, df_mode, regulate, outflow):
     err_c = np.abs(ours_c - ref) / np.maximum(np.abs(ref), 1e-12 * scale)
     assert err_c[sig].max() < 1e-6, \
         f"f32c max rel err {err_c[sig].max():.3e}"
+
+    # the production-default Pallas compensated kernel (use_pallas auto on
+    # accelerators; forced here so the CPU suite runs it in interpret
+    # mode) must hold the SAME golden bar against the compiled C++
+    # reference -- this anchors the flipped default (round-5), not just
+    # an engine-vs-engine distance
+    cfg_p = dataclasses.replace(cfg, compute_dtype="f32c", use_pallas=1,
+                                cell_block=256)
+    ours_p = compute_spectra(surf, species, chosen, grids, df_data, cfg_p,
+                             laguerre)
+    err_p = np.abs(ours_p - ref) / np.maximum(np.abs(ref), 1e-12 * scale)
+    assert err_p[sig].max() < 1e-6, \
+        f"pallas comp max rel err {err_p[sig].max():.3e}"

@@ -33,6 +33,13 @@ def main():
     ap.add_argument("--cells", type=int, default=16384)
     ap.add_argument("--tiles", default="512x1024,256x1024,512x512")
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--impls", default="highest,split",
+                    help="comma list of dot_impl candidates: highest, "
+                         "split, comp (the <=1e-6 compensated kernel)")
+    ap.add_argument("--xla", default="f32",
+                    help="XLA reference path: f32 or f32c (use f32c when "
+                         "judging the comp kernel against the production "
+                         "accuracy-bar engine)")
     args = ap.parse_args()
 
     import jax
@@ -41,14 +48,17 @@ def main():
     sys.path.insert(0, str(REPO / "tools"))
     from roofline import build_kernel, _fence  # the bench-shape XLA program
 
-    from is3d2_tpu.ops.spectra_fast_common import pack_inputs
-    from is3d2_tpu.ops.cooper_frye_pallas import cooper_frye_pallas
+    from is3d2_tpu.ops.spectra_fast_common import (pack_inputs,
+                                                   pack_inputs_comp)
+    from is3d2_tpu.ops.cooper_frye_pallas import (cooper_frye_pallas,
+                                                  cooper_frye_pallas_comp)
 
     log(f"device: {jax.devices()[0]}")
 
-    # XLA reference: the plain-f32 fast path at the bench shape
+    # XLA reference at the bench shape (f32 fast path or the f32c
+    # accuracy-bar path, --xla)
     xla_fn, _, evals, n_blocks, n_m_blocks, n_eta = build_kernel(
-        args.cells, compute_dtype="f32")
+        args.cells, compute_dtype=args.xla)
 
     # Pallas candidates share packed inputs per tile config
     import os
@@ -88,22 +98,36 @@ def main():
     cells, grid, folded = fold_eta_quadrature(cells, grid, cfg)
     log(f"eta fold: {folded} ({grid.eta.shape[0]} computed nodes)")
 
+    impls = [v.strip() for v in args.impls.split(",") if v.strip()]
     candidates = []
     for tile in args.tiles.split(","):
         c_t, m_t = (int(v) for v in tile.split("x"))
         try:
             q, cols, mom, eta_pack, M, Ne = pack_inputs(
                 cells, coeffs, species, grid, cfg, c_t, m_t)
+            if "comp" in impls:
+                (qc, colsc, qm1, qm2, momc, eta_pack_c, _,
+                 _) = pack_inputs_comp(cells, coeffs, species, grid, cfg,
+                                       c_t, m_t)
         except Exception as e:
             log(f"pack {tile}: {e}")
             continue
-        for impl in ("highest", "split"):
-            def run(q=q, cols=cols, mom=mom, eta_pack=eta_pack, Ne=Ne,
-                    c_t=c_t, m_t=m_t, impl=impl):
-                out = cooper_frye_pallas(q, cols, mom, eta_pack, cfg,
-                                         c_tile=c_t, m_tile=m_t, n_eta=Ne,
-                                         dot_impl=impl)
-                return _fence(out)
+        for impl in impls:
+            if impl == "comp":
+                def run(qc=qc, colsc=colsc, qm1=qm1, qm2=qm2, momc=momc,
+                        eta_pack_c=eta_pack_c, Ne=Ne, c_t=c_t, m_t=m_t):
+                    out = cooper_frye_pallas_comp(qc, colsc, qm1, qm2, momc,
+                                                  eta_pack_c, cfg,
+                                                  c_tile=c_t, m_tile=m_t,
+                                                  n_eta=Ne)
+                    return _fence(out)
+            else:
+                def run(q=q, cols=cols, mom=mom, eta_pack=eta_pack, Ne=Ne,
+                        c_t=c_t, m_t=m_t, impl=impl):
+                    out = cooper_frye_pallas(q, cols, mom, eta_pack, cfg,
+                                             c_tile=c_t, m_tile=m_t,
+                                             n_eta=Ne, dot_impl=impl)
+                    return _fence(out)
             candidates.append((f"{tile}:{impl}", run))
 
     # compile everything first (compiles are uninformative through the

@@ -404,14 +404,18 @@ def compute_spectra(surf, species_table: SpeciesTable, chosen_idx: np.ndarray,
             out = sharded_spectra(cells, coeffs, species, grid, cfg, mesh,
                                   block=block)
         elif cfg.compute_dtype in ("f32", "f32c"):
-            # MXU-structured fast path (f32 compute, f64 accumulation)
+            # MXU-structured fast path (f32 compute, f64 accumulation);
+            # f32c in 3+1d routes the light-cone compensated kernel
+            # (<=1e-6; 2+1d f32c was handled above)
             from .spectra_fast import compute_spectra_fast
             import jax.numpy as _jnp
             S_count = len(chosen_idx)
             n_sp_blocks = next(b for b in (8, 4, 2, 1) if S_count % b == 0)
+            dt = ("f32c" if cfg.compute_dtype == "f32c"
+                  and cfg.dimension == 3 else _jnp.float32)
             out = compute_spectra_fast(cells, coeffs, species, grid, cfg,
                                        n_blocks=n_blocks,
-                                       compute_dtype=_jnp.float32,
+                                       compute_dtype=dt,
                                        n_species_blocks=n_sp_blocks)
         else:
             out = _spectra_df12_jit(cells, coeffs, species, grid, cfg, n_blocks)

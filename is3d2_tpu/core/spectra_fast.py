@@ -398,6 +398,161 @@ def _block_fast_3d(q: dict, mom, cfg: Config, acc_dtype):
     return partial_m.astype(acc_dtype)
 
 
+def momentum_matrix_3d_comp(species: SpeciesArrays,
+                            grid: MomentumGridDevice):
+    """12-bit-split f64 light-cone momentum rows for the 3+1d compensated
+    argument (m = species x pT x phi x y) plus the plain f32 rows."""
+    f64 = jnp.float64
+    f32 = jnp.float32
+    mT64 = jnp.sqrt(species.mass[:, None].astype(f64) ** 2
+                    + grid.pT[None, :].astype(f64) ** 2)
+    S, NpT = mT64.shape
+    Nphi = grid.cos_phi.shape[0]
+    Ny = grid.y.shape[0]
+    shape = (S, NpT, Nphi, Ny)
+    M = S * NpT * Nphi * Ny
+
+    def flat(a):
+        return jnp.broadcast_to(a, shape).reshape(M)
+
+    y64 = grid.y.astype(f64)
+    mp64 = flat(mT64[:, :, None, None] * jnp.exp(y64)[None, None, None, :])
+    mm64 = flat(mT64[:, :, None, None] * jnp.exp(-y64)[None, None, None, :])
+    px64 = flat((grid.pT[:, None] * grid.cos_phi[None, :]
+                 ).astype(f64)[None, :, :, None])
+    py64 = flat((grid.pT[:, None] * grid.sin_phi[None, :]
+                 ).astype(f64)[None, :, :, None])
+    out = {}
+    for name, v in (("mp", mp64), ("px", px64), ("py", py64), ("mm", mm64)):
+        hi, lo = _split12(v)
+        out[name + "1"], out[name + "2"] = hi, lo
+        out[name + "f"] = v.astype(f32)
+    out["mass2"] = flat((species.mass ** 2)[:, None, None, None]).astype(f32)
+    out["b"] = flat(species.baryon[:, None, None, None]).astype(f32)
+    out["sgn"] = flat(species.sign[:, None, None, None]).astype(f32)
+    return out
+
+
+def _cell_Q_3d_comp(cells: CellArrays, coeffs: dict):
+    """Plain f32 3+1d rows (_cell_Q_3d) plus 12-bit splits of the
+    invT-folded u.p light-cone coefficients and alphaB.  Unlike 2+1d there
+    is no eta loop to fold hyperbolics into: the cell rapidity already
+    lives in the (eta-rescaled) Q rows, so the compensated argument is a
+    single K=4 exact-product TwoSum chain."""
+    base = _cell_Q_3d(cells, coeffs, jnp.float32)
+    c = cells
+    f64 = jnp.float64
+    invT = 1.0 / c.T.astype(f64)
+    a = 0.5 * jnp.exp(-c.eta.astype(f64))
+    b = 0.5 * jnp.exp(c.eta.astype(f64))
+    tun = (c.tau * c.un).astype(f64)
+    ut = c.ut.astype(f64)
+    qp1, qp2 = _split12(a * (ut - tun) * invT)      # m+ coefficient / T
+    qx1, qx2 = _split12(-c.ux.astype(f64) * invT)
+    qy1, qy2 = _split12(-c.uy.astype(f64) * invT)
+    qm1, qm2 = _split12(b * (ut + tun) * invT)      # m- coefficient / T
+    abf, abl = _split12(c.alphaB.astype(f64))
+    base.update(qp1=qp1, qp2=qp2, qx1=qx1, qx2=qx2, qy1=qy1, qy2=qy2,
+                qm1=qm1, qm2=qm2, abf=abf, abl=abl,
+                Tf=c.T.astype(jnp.float32))
+    return base
+
+
+def _block_fast_3d_comp(q: dict, mom: dict, cfg: Config):
+    """One 3+1d cell block with the compensated exp argument (the f32c
+    trick of _block_fast_comp without the eta loop): 4 exact 12-bit main
+    products + TwoSum chain; everything else the plain f32 chain of
+    _block_fast_3d.  Returns the f64 partial over the block's cells."""
+    mpf, pxf, pyf, mmf = mom["mpf"], mom["pxf"], mom["pyf"], mom["mmf"]
+    b_m = mom["b"]
+    sgn_m = mom["sgn"]
+    mass2_m = mom["mass2"]
+
+    col = lambda k: q[k][:, None]
+    row = lambda v: v[None, :]
+
+    # ---- compensated argument a = u.p/T - alphaB b ----
+    t1 = col("qp1") * row(mom["mp1"])               # exact products
+    t2 = col("qx1") * row(mom["px1"])
+    t3 = col("qy1") * row(mom["py1"])
+    t4 = col("qm1") * row(mom["mm1"])
+    t5 = -(col("abf") * row(b_m))                   # b in {-1,0,1}: exact
+    d = (col("qp1") * row(mom["mp2"]) + col("qp2") * row(mpf)
+         + col("qx1") * row(mom["px2"]) + col("qx2") * row(pxf)
+         + col("qy1") * row(mom["py2"]) + col("qy2") * row(pyf)
+         + col("qm1") * row(mom["mm2"]) + col("qm2") * row(mmf)
+         - col("abl") * row(b_m))
+    s, e1 = _two_sum(t1, t2)
+    s, e2 = _two_sum(s, t3)
+    s, e3 = _two_sum(s, t4)
+    s, e4 = _two_sum(s, t5)
+    A, r = _two_sum(s, d + (e1 + e2 + e3 + e4))
+    eA = jnp.exp(A)
+    feq = 1.0 / (eA * (1.0 + r) + sgn_m[None, :])
+    feqbar = 1.0 - sgn_m[None, :] * feq
+    E = (A + col("abf") * row(b_m)) * col("Tf")     # GeV, for the df chain
+
+    # ---- plain f32 linear pieces (as _block_fast_3d) ----
+    P = [mpf, pxf, pyf, mmf]
+    pdd = _contract(q["Q_d"], P)
+    if cfg.include_shear_deltaf:
+        PP = [P[0] * P[0], P[1] * P[1], P[2] * P[2], P[3] * P[3],
+              P[0] * P[1], P[0] * P[2], P[0] * P[3],
+              P[1] * P[2], P[1] * P[3], P[2] * P[3]]
+        pim = _contract(q["Q_pi"], PP)
+    else:
+        pim = 0.0
+    if cfg.include_baryon and cfg.include_baryondiff_deltaf:
+        Vp = _contract(q["Q_V"], P)
+    else:
+        Vp = 0.0
+
+    if cfg.df_mode == 1:
+        df = (col("shear") * pim + col("bulk0") * row(mass2_m)
+              + (col("bulk1") * row(b_m) + col("bulk2") * E) * E)
+        if cfg.include_baryon and cfg.include_baryondiff_deltaf:
+            df = df + (col("diff0") * row(b_m) + col("diff1") * E) * Vp
+    else:
+        df = (col("shear") * pim / E + col("bulk0") * E
+              + col("bulk1") * row(b_m)
+              + col("bulk2") * (E - row(mass2_m) / E))
+        if cfg.include_baryon and cfg.include_baryondiff_deltaf:
+            df = df + (col("diff0") - col("diff1") * row(b_m) / E) * Vp
+    df = feqbar * df
+    if cfg.regulate_deltaf:
+        df = jnp.clip(df, -1.0, 1.0)
+    if cfg.outflow:
+        pdd = jnp.where(pdd > 0.0, pdd, 0.0)
+
+    value = pdd * (feq * (1.0 + df))
+    return jnp.sum(q["mask"][:, None] * value, axis=0).astype(jnp.float64)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_blocks", "n_m_blocks"))
+def _spectra_fast_3d_comp_jit(per_cell: dict, mom: dict, cfg: Config,
+                              n_blocks: int, n_m_blocks: int):
+    C_total = per_cell["invT"].shape[0]
+    blk = C_total // n_blocks
+    M = mom["mpf"].shape[0]
+    m_blk = M // n_m_blocks
+
+    def body(acc, ij):
+        i = ij // n_m_blocks
+        j = ij % n_m_blocks
+        qb = {k: jax.lax.dynamic_slice_in_dim(v, i * blk, blk, 0)
+              for k, v in per_cell.items()}
+        mom_j = {k: jax.lax.dynamic_slice_in_dim(v, j * m_blk, m_blk, 0)
+                 for k, v in mom.items()}
+        part = _block_fast_3d_comp(qb, mom_j, cfg)
+        return jax.lax.dynamic_update_slice(
+            acc, jax.lax.dynamic_slice(acc, (j * m_blk,), (m_blk,)) + part,
+            (j * m_blk,)), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros(M, dtype=jnp.float64),
+                          jnp.arange(n_blocks * n_m_blocks))
+    return acc
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_blocks", "n_m_blocks",
                                    "acc_dtype_name"))
 def _spectra_fast_3d_jit(per_cell: dict, mom, cfg: Config, n_blocks: int,
@@ -812,9 +967,18 @@ def compute_spectra_fast(cells: CellArrays, coeffs: dict,
     NpT = grid.pT.shape[0]
     Nphi = grid.cos_phi.shape[0]
 
+    if compute_dtype == "f32c" and cfg.dimension == 3:
+        # 3+1d compensated path: the light-cone basis has no eta loop, so
+        # the split-exact argument is a single K=4 TwoSum chain per point
+        per_cell = _cell_Q_3d_comp(cells, coeffs)
+        mom = momentum_matrix_3d_comp(species, grid)
+        flat = _spectra_fast_3d_comp_jit(per_cell, mom, cfg, n_blocks,
+                                         n_species_blocks)
+        out = flat.reshape(S, NpT, Nphi, grid.y.shape[0])
+        return (PREFACTOR * species.degeneracy.astype(out.dtype)
+                [:, None, None, None] * out)
+
     if compute_dtype == "f32c":
-        if cfg.dimension != 2:
-            raise ValueError("the compensated (f32c) path implements 2+1d")
         eta64 = grid.eta.astype(jnp.float64)
         per_cell, qm1, qm2 = _cell_Q_comp(cells, coeffs, eta64)
         mom = momentum_matrix_comp(species, grid)

@@ -54,6 +54,31 @@ def test_spectra_3plus1d(reference_dir, tmp_path, df_mode):
                                len(grids.y))
     _compare(ours, ref)
 
+    # The 3+1d COMPENSATED fast path (light-cone split-exact exp argument,
+    # _block_fast_3d_comp) against the compiled C++ reference.  Error
+    # budget (round-5, pinned here): the exp-argument compensation brings
+    # non-cancelling bins under 1e-6 (measured 5.2e-7 on this surface at
+    # |ref| > 1e-4 peak; 6.9e-7 on per-species significant bins of the
+    # seed-77 surface, vs ~3e-6 for plain f32) -- but y/pT-EDGE bins where
+    # O(peak)-sized per-cell contributions cancel across cells to ~1e-6 of
+    # peak cannot hold 1e-6 RELATIVE in any f32-valued scheme: each cell's
+    # value carries one f32 rounding (6e-8 of ITS magnitude), so a
+    # cancellation factor kappa leaves kappa*6e-8 (measured 5.6e-5 at
+    # kappa ~ 1e3 here; the f64 path is the carrier for such bins).
+    # Assert the two honest bounds: <=1e-6 relative away from the
+    # cancellation tail, and an absolute bound ~2 f32 ulps of peak
+    # everywhere.
+    import dataclasses
+    cfg_c = dataclasses.replace(cfg, compute_dtype="f32c")
+    ours_c = np.asarray(compute_spectra(surf, species, chosen, grids,
+                                        df_data, cfg_c, laguerre))
+    scale = np.abs(ref).max()
+    sig = np.abs(ref) > 1e-4 * scale
+    err = (np.abs(ours_c - ref) / np.maximum(np.abs(ref), 1e-300))[sig].max()
+    assert err < 1e-6, f"3+1d f32c max rel err {err:.3e}"
+    abs_err = (np.abs(ours_c - ref) / scale).max()
+    assert abs_err < 2.5e-7, f"3+1d f32c abs/peak {abs_err:.3e}"
+
 
 @pytest.mark.parametrize("df_mode", [1, 2])
 def test_spectra_baryon_diffusion(reference_dir, tmp_path, df_mode):

@@ -774,6 +774,35 @@ def _species_draw_cdf(cdf_flat, cdf_bucket, cell_idx, k_sp, S_count: int,
     return jnp.minimum(lo, S_count - 1), None
 
 
+def _envelope_tilt_cells(setup: SamplerSetup, cfg: Config):
+    """Per-cell mean of the tilted flux envelope, c = (dst + ds/4)/ds_max.
+
+    The flux keep w_flux = max(0, E dst - p.ds_vec)/(E ds_max) is bounded
+    pointwise by w_hi(mu) = (dst + ds max(0, mu))/ds_max with
+    mu = -phat.dshat and v = |p|/E <= 1.  Drawing the hadron count from
+    lam * c and the direction from q(mu) = w_hi(mu)/c (both exact: c is
+    the isotropic mean of w_hi), then keeping with w/w_hi, reproduces the
+    ORIGINAL kept process exactly (Poisson thinning algebra) while never
+    drawing the lanes destined for certain flux rejection -- the
+    importance-corrected envelope VERDICT r4 #3 asked for
+    (ParticleSampler.cpp:1059 draws and discards them all).  Since
+    ds_max = dst + ds (LocalRestFrame.cpp:94-98 in the LRF), c ranges
+    from 1 (timelike-only dsigma) down to 1/4 (spacelike-only).
+
+    df 1/2 only: the df 3/4/5 momentum RESCALE (p = A p') mixes
+    directions after the draw, so a pre-rescale mu cannot bound the
+    post-rescale flux.  Returns None for those modes (old envelope).
+    """
+    if cfg.df_mode not in (1, 2):
+        return None
+    ds = jnp.sqrt(setup.dsx * setup.dsx + setup.dsy * setup.dsy
+                  + setup.dsz * setup.dsz)
+    return jnp.where(
+        setup.ds_max > 0.0,
+        (setup.dst + 0.25 * ds) / jnp.maximum(setup.ds_max, 1e-30),
+        1.0).astype(jnp.float32)
+
+
 @partial(jax.jit, static_argnames=("cfg", "capacity", "stop_after",
                                    "species_draw"))
 def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
@@ -801,8 +830,8 @@ def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
     y_max = cfg.y_cut if cfg.dimension == 2 else 0.5
     volume = 2.0 * y_max * setup.ds_max
 
-    key, k_poisson, k_event, k_mom, k_keep, k_rap, k_sp = jax.random.split(
-        key, 7)
+    key, k_poisson, k_event, k_mom, k_keep, k_rap, k_sp, k_dir = \
+        jax.random.split(key, 8)
 
     S_count = species.mass.shape[0]
     # TWO-LEVEL yield draw (Poisson splitting): hadron counts per CELL from
@@ -815,6 +844,11 @@ def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
     # multinomial split).
     lam = (cell_rate * volume.astype(jnp.float32)) * \
         jnp.asarray(n_events, jnp.float32)
+    tilt = _envelope_tilt_cells(setup, cfg)
+    if tilt is not None:
+        # tilted envelope (see _envelope_tilt_cells): fewer lanes drawn,
+        # same kept process exactly
+        lam = lam * tilt
     counts = jax.random.poisson(k_poisson, lam)          # (cfill,)
     cum = jnp.cumsum(counts)
     total = cum[-1]
@@ -949,6 +983,51 @@ def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
     E0, px0, py0, pz0, feq, mom_ok, n_prop, n_acc = _sample_momentum(
         k_mom, mass, sign, T_s, chem_s, count_mask=valid)
 
+    if cfg.df_mode in (1, 2):
+        # Tilted-envelope direction draw (pairs with the lam tilt above,
+        # see _envelope_tilt_cells): replace the SP draw's isotropic
+        # direction (independent of |p| by the Scott-Pratt construction)
+        # with mu = phat.a, a = -dshat, drawn from the exact tilted
+        # density q(mu) proportional to dst + ds max(0, mu); azimuth
+        # uniform about a.  The keep test below divides by w_hi(mu).
+        dst_h, dsx_h = gf("dst"), gf("dsx")
+        dsy_h, dsz_h = gf("dsy"), gf("dsz")
+        ds_h = jnp.sqrt(dsx_h * dsx_h + dsy_h * dsy_h + dsz_h * dsz_h)
+        inv_ds = 1.0 / jnp.maximum(ds_h, 1e-30)
+        # ds -> 0 (timelike-only dsigma): q(mu) is uniform and any axis
+        # serves; pick z to keep the frame orthonormal
+        tiny = ds_h < 1e-12
+        ax = jnp.where(tiny, 0.0, -dsx_h * inv_ds)
+        ay = jnp.where(tiny, 0.0, -dsy_h * inv_ds)
+        az = jnp.where(tiny, 1.0, -dsz_h * inv_ds)
+        u2d = jax.random.uniform(k_dir, (2, capacity), dtype=jnp.float32)
+        # CDF inversion of q: linear branch for mu < 0, quadratic for
+        # mu >= 0 via the cancellation-stable (Citardauq) root -- exact
+        # uniform continuation as ds -> 0
+        t = u2d[0] * (2.0 * dst_h + 0.5 * ds_h)
+        mu_neg = t / jnp.maximum(dst_h, 1e-30) - 1.0
+        tp = t - dst_h
+        disc = dst_h * dst_h + 2.0 * ds_h * tp
+        mu_pos = 2.0 * tp / (dst_h + jnp.sqrt(jnp.maximum(disc, 0.0)))
+        mu = jnp.clip(jnp.where(t <= dst_h, mu_neg, mu_pos), -1.0, 1.0)
+        # branchless orthonormal frame about a (Duff et al. 2017)
+        sz_f = jnp.where(az >= 0.0, 1.0, -1.0)
+        aa = -1.0 / (sz_f + az)
+        bb = ax * ay * aa
+        e1x, e1y, e1z = 1.0 + sz_f * ax * ax * aa, sz_f * bb, -sz_f * ax
+        e2x, e2y, e2z = bb, sz_f + ay * ay * aa, -ay
+        psi = jnp.float32(2.0 * np.pi) * u2d[1]
+        cpsi, spsi = jnp.cos(psi), jnp.sin(psi)
+        st = jnp.sqrt(jnp.maximum(1.0 - mu * mu, 0.0))
+        pmag = jnp.sqrt(px0 * px0 + py0 * py0 + pz0 * pz0)
+        px0 = pmag * (mu * ax + st * (cpsi * e1x + spsi * e2x))
+        py0 = pmag * (mu * ay + st * (cpsi * e1y + spsi * e2y))
+        pz0 = pmag * (mu * az + st * (cpsi * e1z + spsi * e2z))
+        w_hi = (dst_h + ds_h * jnp.maximum(mu, 0.0)) \
+            / jnp.maximum(gf("ds_max"), 1e-30)
+    else:
+        w_hi = None
+
     if stop_after == "momentum":
         return {"_probe": jnp.sum(E0 + px0 + py0 + pz0 + feq)
                 + jnp.sum(mom_ok.astype(jnp.int32)) + n_prop + n_acc,
@@ -1038,7 +1117,14 @@ def _sample_hadrons_jit(setup: SamplerSetup, species: SpeciesArrays,
 
     # explicit f32 draw: the default dtype is f64 under x64, emulated on TPU
     u_keep = jax.random.uniform(k_keep, (capacity,), dtype=jnp.float32)
-    keep = valid & mom_ok & (u_keep < (w_flux * w_visc).astype(jnp.float32))
+    if w_hi is not None:
+        # tilted envelope: acceptance is w / w_hi(mu) (w <= w_hi pointwise
+        # by construction), completing the exact importance chain
+        keep = valid & mom_ok & (u_keep * w_hi
+                                 < (w_flux * w_visc).astype(jnp.float32))
+    else:
+        keep = valid & mom_ok & (u_keep
+                                 < (w_flux * w_visc).astype(jnp.float32))
 
     if stop_after == "weights":
         return {"_probe": jnp.sum(keep.astype(jnp.int32))
@@ -1342,9 +1428,14 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
     # campaign mean from the CDF's per-cell total rate: the same reduction
     # off setup.rates directly is an emulated-f64 45M-lane pass (~5 s steady
     # on v5e); this f32 form is ~1e-6 relative, plenty for chunk/capacity
-    # sizing (n_events itself comes from compute_total_yield's f64 path)
-    mean_1ev = float(jnp.sum(
-        cell_rate * (2.0 * y_max * setup.ds_max).astype(f32)))
+    # sizing (n_events itself comes from compute_total_yield's f64 path).
+    # The tilted envelope (df 1/2) shrinks the DRAWN mean by the per-cell
+    # c factor, so chunks fit ~1.4x more events at the same capacity.
+    _tilt = _envelope_tilt_cells(setup, cfg)
+    _env_col = (2.0 * y_max * setup.ds_max).astype(f32)
+    if _tilt is not None:
+        _env_col = _env_col * _tilt
+    mean_1ev = float(jnp.sum(cell_rate * _env_col))
     mean_total = mean_1ev * n_events
 
     # event chunking: per-hadron device buffers scale with the flat-hadron

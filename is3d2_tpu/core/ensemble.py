@@ -156,8 +156,37 @@ def compute_spectra_ensemble(surfs, species_table: SpeciesTable, chosen_idx,
         # gate reduction works on the stacked (K, C) leaves directly
         from .spectra_fast import fold_eta_quadrature
         cells, grid, _ = fold_eta_quadrature(cells, grid, cfg)
-        kernel = lambda c, a: _spectra_df12_jit(c, a, species, grid, cfg,
-                                                n_blocks)
+        if cfg.compute_dtype == "f32" and cfg.dimension == 2:
+            # MXU-structured fast kernel per surface (momentum matrix
+            # shared across the vmap): the broadcast kernel's fused 6-d
+            # elementwise chain stops fusing under vmap at full-HRG
+            # chunk scale (measured: a 171 GB intermediate OOM at 16
+            # surfaces x 4096 cells x 493 species), while the fast
+            # kernel's block scan bounds the live set per surface
+            from .spectra import PREFACTOR
+            from .spectra_fast import (_cell_Q, momentum_matrix,
+                                       _spectra_fast_jit)
+            mom = momentum_matrix(species, grid, jnp.float32)
+            eta32 = grid.eta.astype(jnp.float32)
+            eta_w = grid.eta_weight.astype(jnp.float64)
+            # bound the per-surface (block x M) working set: the vmap
+            # multiplies it by the chunk width
+            fast_blk = min(block, 512, n_padded)
+            nb = max(n_padded // fast_blk, 1)
+            NpT = grid.pT.shape[0]
+            Nphi = grid.cos_phi.shape[0]
+            S_n = species.mass.shape[0]
+            deg = species.degeneracy.astype(jnp.float64)
+
+            def kernel(c, a):
+                per_cell = _cell_Q(c, a, jnp.float32)
+                flat = _spectra_fast_jit(per_cell, mom, eta32, eta_w, cfg,
+                                         nb, 1, "float64")
+                out = flat.reshape(S_n, NpT, Nphi, 1)
+                return PREFACTOR * deg[:, None, None, None] * out
+        else:
+            kernel = lambda c, a: _spectra_df12_jit(c, a, species, grid,
+                                                    cfg, n_blocks)
     elif cfg.df_mode == 5:
         # per-surface VAH state (Newton reconstruction or the surface's own
         # (Lambda, aT, aL) columns), stacked like the feqmod prep -- the

@@ -349,3 +349,33 @@ def test_ensemble_particle_list_export(reference_dir, tmp_path):
         events_per_surface=n_ev, capacity=65536, results_root=root2,
         seed=17, surface_chunk=2)
     assert [s["kept"] for s in stats2] == [s["kept"] for s in stats]
+
+
+def test_ensemble_f32_fast_kernel_matches(reference_dir):
+    """f32 df-1/2 ensembles route through the MXU-structured fast kernel
+    (the broadcast kernel's fused chain OOMs under vmap at full-HRG chunk
+    scale); results must agree with the single-surface f64 engine at the
+    f32 class."""
+    import dataclasses
+
+    species = read_pdg(3, reference_dir / "PDG")
+    grids = MomentumGrids.from_dir(reference_dir / "tables")
+    tables = DeltafTables.load(3, include_baryon=False,
+                               base_dir=reference_dir / "deltaf_coefficients/vh")
+    cfg = Config(df_mode=1, hrg_eos=3, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, cell_block=32, compute_dtype="f32")
+    df_data = DeltafData(tables, 1, include_baryon=False)
+    chosen = species.chosen_indices(PIKP)
+
+    surfs = [make_surface(24 + 8 * i, seed=100 + i) for i in range(3)]
+    batch = compute_spectra_ensemble(surfs, species, chosen, grids, df_data,
+                                     cfg)
+    cfg64 = dataclasses.replace(cfg, compute_dtype="f64")
+    for i, s in enumerate(surfs):
+        single = np.asarray(compute_spectra(s, species, chosen, grids,
+                                            df_data, cfg64))
+        scale = np.abs(single).max()
+        sig = np.abs(single) > 1e-8 * scale
+        err = (np.abs(batch[i] - single)
+               / np.maximum(np.abs(single), 1e-300))[sig].max()
+        assert err < 2e-5, f"surface {i}: f32 ensemble vs f64 {err:.2e}"

@@ -66,18 +66,53 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(cols_ref, p_ref, renorm_ref, red_ref, eta_ref, out_ref, *,
-            cfg: Config, kind: str, n_eta: int):
+            cfg: Config, kind: str, n_eta: int, dot_impl: str = "vpu"):
     """cols_ref: (C_t, 64); p_ref: (1, 16, M_t); renorm_ref/red_ref:
     (C_t, 1); eta_ref: (8, Ne_pad) SMEM rows [eta, weight]; out_ref:
-    (1, 8, M_t), cell tile i_c accumulates into row i_c % 8."""
+    (1, 8, M_t), cell tile i_c accumulates into row i_c % 8.
+
+    dot_impl="mxu" (round 5): the K<=6 contractions against the P16 rows
+    move from VPU broadcast FMA chains onto MXU dots -- the df-1/2 split
+    kernel's winning restructure (ops/cooper_frye_pallas).  The exp
+    arguments (E2 for the modified branch, E for the breakdown branch)
+    take HIGHEST (6-pass) dots since exp amplifies argument error;
+    p.dsigma / pi:pp / V.p take the 3-pass exact-bf16-split _dot3; the
+    cell reduction becomes the 2-pass split ones-row dot.  Coefficient
+    tiles (C_t, 16) are assembled from the per-(cell, eta) coefficient
+    columns by iota masking (Mosaic-safe lane placement)."""
+    C_t = cols_ref.shape[0]
     M_t = p_ref.shape[2]
     f32 = jnp.float32
+    mxu = dot_impl == "mxu"
 
     def col(i):
         return cols_ref[:, i:i + 1]                       # (C_t, 1)
 
     def row(i):
         return p_ref[0, i:i + 1, :]                       # (1, M_t)
+
+    if mxu:
+        from .cooper_frye_pallas import _bf16_round, _dot3
+        P16 = p_ref[0]                                    # (16, M_t)
+        P16_h = _bf16_round(P16)
+        P16_l = P16 - P16_h
+        lane16 = jax.lax.broadcasted_iota(jnp.int32, (C_t, 16), 1)
+
+        def q16(pairs):
+            """(C_t, 16) coefficient tile with column k = coefficient
+            (a (C_t, 1) column or a scalar) for each (k, coef) pair."""
+            acc = jnp.zeros((C_t, 16), f32)
+            for k, coef in pairs:
+                acc = acc + jnp.where(lane16 == k, coef, 0.0)
+            return acc
+
+        def dot_hi(Q):
+            return jnp.dot(Q, P16, preferred_element_type=f32,
+                           precision=jax.lax.Precision.HIGHEST)
+
+        def dot_sp(Q):
+            Q_h = _bf16_round(Q)
+            return _dot3(Q_h, Q - Q_h, P16_h, P16_l)
 
     P0, P1, P2 = row(_R_MT), row(_R_PX), row(_R_PY)
     Pq = [row(_R_MT2), row(_R_PX2), row(_R_PY2),
@@ -129,17 +164,24 @@ def _kernel(cols_ref, p_ref, renorm_ref, red_ref, eta_ref, out_ref, *,
              2.0 * sum(U_m[i] * U_y[i] for i in range(3)),
              2.0 * sum(U_x[i] * U_y[i] for i in range(3))]
 
-        E2 = mass2 + sum(qi * Pi for qi, Pi in zip(q, Pq))
-
         if kind == "famod":
-            # famod weights the whole p.dsigma
-            pdd_m = ((w_e * (ch * col(_I_DAT) - sh * col(_I_DANT))) * P0
-                     + (w_e * col(_I_DAX)) * P1 + (w_e * col(_I_DAY)) * P2)
+            pdd_m_coefs = [w_e * (ch * col(_I_DAT) - sh * col(_I_DANT)),
+                           w_e * col(_I_DAX), w_e * col(_I_DAY)]
         else:
             # feqmod quirk: the dan term is unweighted
             # (MomentumSpectra.cpp:936)
-            pdd_m = ((w_e * ch * col(_I_DAT) - sh * col(_I_DANT)) * P0
-                     + (w_e * col(_I_DAX)) * P1 + (w_e * col(_I_DAY)) * P2)
+            pdd_m_coefs = [w_e * ch * col(_I_DAT) - sh * col(_I_DANT),
+                           w_e * col(_I_DAX), w_e * col(_I_DAY)]
+
+        if mxu:
+            # E2 via one HIGHEST dot: quad coefficients + the mass2 row
+            # (coefficient 1) folded into the same contraction
+            E2 = dot_hi(q16([(3 + i, q[i]) for i in range(6)] + [(9, 1.0)]))
+            pdd_m = dot_sp(q16(list(enumerate(pdd_m_coefs))))
+        else:
+            E2 = mass2 + sum(qi * Pi for qi, Pi in zip(q, Pq))
+            pdd_m = (pdd_m_coefs[0] * P0 + pdd_m_coefs[1] * P1
+                     + pdd_m_coefs[2] * P2)
 
         E_mod = jnp.sqrt(jnp.maximum(E2, 1e-30))
         chem_eff = b_m * col(_I_ALPHAB_EFF)
@@ -151,14 +193,21 @@ def _kernel(cols_ref, p_ref, renorm_ref, red_ref, eta_ref, out_ref, *,
         # ---------------- breakdown branch ----------------
         chb = eta_ref[2, e]          # cosh(eta), precomputed on host
         shb = eta_ref[3, e]          # sinh(eta)
-        E = ((chb * col(_I_UT) + shb * col(_I_TUN)) * P0
-             - col(_I_UX) * P1 - col(_I_UY) * P2)
+        E_coefs = [chb * col(_I_UT) + shb * col(_I_TUN),
+                   -col(_I_UX), -col(_I_UY)]
         if kind == "famod":
-            pdd_b = ((w_e * (chb * col(_I_DAT) - shb * col(_I_DANT))) * P0
-                     + (w_e * col(_I_DAX)) * P1 + (w_e * col(_I_DAY)) * P2)
+            pdd_b_coefs = [w_e * (chb * col(_I_DAT) - shb * col(_I_DANT)),
+                           w_e * col(_I_DAX), w_e * col(_I_DAY)]
         else:
-            pdd_b = ((w_e * chb * col(_I_DAT) - shb * col(_I_DANT)) * P0
-                     + (w_e * col(_I_DAX)) * P1 + (w_e * col(_I_DAY)) * P2)
+            pdd_b_coefs = [w_e * chb * col(_I_DAT) - shb * col(_I_DANT),
+                           w_e * col(_I_DAX), w_e * col(_I_DAY)]
+        if mxu:
+            E = dot_hi(q16(list(enumerate(E_coefs))))
+            pdd_b = dot_sp(q16(list(enumerate(pdd_b_coefs))))
+        else:
+            E = E_coefs[0] * P0 + E_coefs[1] * P1 + E_coefs[2] * P2
+            pdd_b = (pdd_b_coefs[0] * P0 + pdd_b_coefs[1] * P1
+                     + pdd_b_coefs[2] * P2)
         if cfg.outflow:
             pdd_b = jnp.maximum(pdd_b, 0.0)
 
@@ -173,10 +222,16 @@ def _kernel(cols_ref, p_ref, renorm_ref, red_ref, eta_ref, out_ref, *,
                 - kk(6) * (chb * shb)
             kq4 = kk(4) * chb - kk(8) * shb
             kq5 = kk(5) * chb - kk(9) * shb
-            pim = (kq1 * Pq[0] + kk(1) * Pq[1] + kk(2) * Pq[2]
-                   + kq4 * Pq[3] + kq5 * Pq[4] + kk(7) * Pq[5])
-            Vp = ((chb * col(_I_VT) + shb * col(_I_TVN)) * P0
-                  - col(_I_VX) * P1 - col(_I_VY) * P2)
+            if mxu:
+                pim = dot_sp(q16([(3, kq1), (4, kk(1)), (5, kk(2)),
+                                  (6, kq4), (7, kq5), (8, kk(7))]))
+                Vp = dot_sp(q16([(0, chb * col(_I_VT) + shb * col(_I_TVN)),
+                                 (1, -col(_I_VX)), (2, -col(_I_VY))]))
+            else:
+                pim = (kq1 * Pq[0] + kk(1) * Pq[1] + kk(2) * Pq[2]
+                       + kq4 * Pq[3] + kq5 * Pq[4] + kk(7) * Pq[5])
+                Vp = ((chb * col(_I_VT) + shb * col(_I_TVN)) * P0
+                      - col(_I_VX) * P1 - col(_I_VY) * P2)
 
             if cfg.df_mode == 3:
                 feq = 1.0 / (jnp.exp(E * invT - b_m * alphaB) + sgn)
@@ -197,6 +252,17 @@ def _kernel(cols_ref, p_ref, renorm_ref, red_ref, eta_ref, out_ref, *,
             value_b = pdd_b * feq * (1.0 + df)
 
         value = breaks * value_b + (1.0 - breaks) * value_mod
+        if mxu:
+            # 2-pass exact-bf16-split ones-row reduction on the MXU (the
+            # red column folds into value first)
+            from .cooper_frye_pallas import _bf16_round as _bfr
+            v = red * value
+            v_h = _bfr(v)
+            ones_row = jnp.ones((1, C_t), f32)
+            part = (jnp.dot(ones_row, v_h, preferred_element_type=f32)
+                    + jnp.dot(ones_row, v - v_h,
+                              preferred_element_type=f32))
+            return acc + part
         # cell reduction on the VPU with the mask*renorm_finite column
         return acc + jnp.sum(red * value, axis=0, keepdims=True)
 
@@ -317,7 +383,8 @@ def pack_feqmod_pallas(data: dict, species, grid, c_tile: int,
 def cooper_frye_feqmod_pallas(cols, P, renorm, red, eta_pack, cfg: Config,
                               kind: str, n_eta: int,
                               c_tile: int = 256, m_tile: int = 512,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              dot_impl: str = "vpu"):
     """Run the kernel: returns (S, M_pad) f64 spectra (renorm applied,
     prefactor/degeneracy NOT applied)."""
     C = cols.shape[0]
@@ -330,7 +397,8 @@ def cooper_frye_feqmod_pallas(cols, P, renorm, red, eta_pack, cfg: Config,
     # prologue carries i64 values, which Mosaic cannot legalize on TPU
     with jax.enable_x64(False):
         out = pl.pallas_call(
-            partial(_kernel, cfg=cfg, kind=kind, n_eta=n_eta),
+            partial(_kernel, cfg=cfg, kind=kind, n_eta=n_eta,
+                    dot_impl=dot_impl),
             out_shape=jax.ShapeDtypeStruct((S, 8, M_pad), jnp.float32),
             grid=(n_m, S, n_c),
             in_specs=[
@@ -357,7 +425,8 @@ def cooper_frye_feqmod_pallas(cols, P, renorm, red, eta_pack, cfg: Config,
 def compute_spectra_feqmod_pallas(cells, fq_or_fm, species, grid,
                                   cfg: Config, c_tile: int = 256,
                                   m_tile: int = 512,
-                                  interpret: bool = False):
+                                  interpret: bool = False,
+                                  dot_impl: str = "vpu"):
     """Full Pallas feqmod/famod spectra: (S, NpT, Nphi, 1) f64.
 
     `fq_or_fm` is the f64 prep (prepare_feqmod / prepare_famod), exactly
@@ -386,7 +455,8 @@ def compute_spectra_feqmod_pallas(cells, fq_or_fm, species, grid,
         data, species, grid, c_tile, m_tile)
     flat = cooper_frye_feqmod_pallas(cols, P, renorm, red, eta_pack, cfg,
                                      kind, Ne, c_tile=c_tile, m_tile=m_tile,
-                                     interpret=interpret)[:, :M]
+                                     interpret=interpret,
+                                     dot_impl=dot_impl)[:, :M]
     NpT = grid.pT.shape[0]
     Nphi = grid.cos_phi.shape[0]
     out = flat.reshape(S, NpT, Nphi, 1)

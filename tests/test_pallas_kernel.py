@@ -105,6 +105,54 @@ def test_pallas_feqmod_kernel_matches_reference_path(reference_dir, df_mode):
     assert err < 1e-4, f"pallas feqmod df{df_mode} err {err:.2e}"
 
 
+@pytest.mark.parametrize("df_mode", [3, 5])
+def test_pallas_feqmod_mxu_variant(reference_dir, df_mode):
+    """dot_impl="mxu" for the feqmod/famod kernel: the K<=6 contractions
+    move onto MXU dots (HIGHEST for the exp arguments E2/E, 3-pass
+    exact-bf16-split for pdd/pim/Vp, 2-pass split cell reduction) -- the
+    df-1/2 split kernel's winning restructure extended to df 3/4/5.
+    Interpret-mode parity vs the f64 golden engine; the on-silicon speed
+    decision runs through tools/pallas_feqmod_sweep.py."""
+    from surfgen import make_eos_consistent
+    from is3d2_tpu.io.tables import GaussLaguerre
+    from is3d2_tpu.core.feqmod import prepare_feqmod
+    from is3d2_tpu.core.spectra_famod import prepare_famod
+    from is3d2_tpu.ops.cooper_frye_feqmod_pallas import (
+        compute_spectra_feqmod_pallas)
+
+    species_t = read_pdg(3, reference_dir / "PDG")
+    grids = MomentumGrids.from_dir(reference_dir / "tables")
+    tables = DeltafTables.load(3, include_baryon=False,
+                               base_dir=reference_dir / "deltaf_coefficients/vh")
+    laguerre = GaussLaguerre.from_file(
+        reference_dir / "tables/gauss/gla_roots_weights.txt")
+    surf = make_surface(48, seed=29, shear_scale=0.03, bulk_scale=0.01)
+    cfg = Config(operation=1, df_mode=df_mode, hrg_eos=3,
+                 include_shear_deltaf=1, include_bulk_deltaf=1, cell_block=64)
+    if df_mode == 5:
+        surf = make_eos_consistent(surf, species_t, laguerre)
+    df_data = DeltafData(tables, df_mode, include_baryon=False)
+    chosen = species_t.chosen_indices(PIKP)
+
+    ref = compute_spectra(surf, species_t, chosen, grids, df_data, cfg,
+                          laguerre)
+    cells = prepare_cells(surf, cfg, block=64)
+    species = SpeciesArrays.from_table(species_t, chosen)
+    grid = MomentumGridDevice.from_grids(grids, cfg.dimension)
+    if df_mode == 5:
+        prep = prepare_famod(cells, species_t, cfg)
+    else:
+        prep = prepare_feqmod(cells, species, df_data, cfg, laguerre)
+
+    out = np.asarray(compute_spectra_feqmod_pallas(
+        cells, prep, species, grid, cfg, c_tile=32, m_tile=256,
+        interpret=True, dot_impl="mxu"))
+    scale = np.abs(ref).max()
+    sig = np.abs(ref) > 1e-10 * scale
+    err = (np.abs(out - ref) / np.maximum(np.abs(ref), 1e-300))[sig].max()
+    assert err < 1e-4, f"pallas feqmod mxu df{df_mode} err {err:.2e}"
+
+
 @pytest.mark.parametrize("df_mode", [1, 5])
 def test_use_pallas_config_dispatch(reference_dir, df_mode):
     """`use_pallas = 1` routes compute_spectra through the Pallas kernels

@@ -37,6 +37,7 @@ def main():
     ap.add_argument("--cells", type=int, default=4096)
     ap.add_argument("--df", type=int, default=3)
     ap.add_argument("--tiles", default="256x512,512x512,128x512")
+    ap.add_argument("--impls", default="vpu,mxu")
     ap.add_argument("--rounds", type=int, default=3)
     args = ap.parse_args()
 
@@ -102,11 +103,12 @@ def main():
     cands = []
     for tile in args.tiles.split(","):
         c_t, m_t = (int(v) for v in tile.split("x"))
-
-        def run(c_t=c_t, m_t=m_t):
-            return _fence(compute_spectra_feqmod_pallas(
-                cells, prep, species, grid, cfg, c_tile=c_t, m_tile=m_t))
-        cands.append((tile, run))
+        for impl in args.impls.split(","):
+            def run(c_t=c_t, m_t=m_t, impl=impl):
+                return _fence(compute_spectra_feqmod_pallas(
+                    cells, prep, species, grid, cfg, c_tile=c_t,
+                    m_tile=m_t, dot_impl=impl))
+            cands.append((f"{tile}:{impl}", run))
 
     t0 = time.time(); xla_run()
     log(f"XLA feqmod fast compile+first: {time.time()-t0:.1f}s")

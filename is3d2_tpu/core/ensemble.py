@@ -325,9 +325,11 @@ def sample_ensemble_particle_lists(surfs, species_table: SpeciesTable,
     species = cast(species)
 
     # the per-surface fields the StreamingEventWriter/ChunkCollector
-    # consumes (lean finalize layout: positions reconstruct from cell_idx)
-    _FIELDS = ("keep", "event", "sp_idx", "cell_idx", "eta", "px", "py",
+    # consumes (lean finalize layout: LRF momenta + ids; the collector
+    # boosts to the lab on the host, ChunkCollector._boost_lrf_to_lab)
+    _FIELDS = ("keep", "event", "sp_idx", "cell_idx", "px", "py",
                "pz", "mcid", "mass_tab", "cell_tau", "cell_x", "cell_y",
+               "cell_eta", "cell_ux", "cell_uy", "cell_un",
                "kept", "overflow", "total")
 
     def one(setup, key, cap):
@@ -357,8 +359,10 @@ def sample_ensemble_particle_lists(surfs, species_table: SpeciesTable,
         writer = StreamingEventWriter(
             results_root / f"surface_{_surf_offset + i}", oscar=oscar,
             csv=csv)
+        from .sampler import _rap_meta
         chunk = dict(part)
         chunk["ev0"], chunk["n_ev"] = 0, events_per_surface
+        chunk.update(_rap_meta(cfg, seed, _surf_offset + i))
         writer(chunk)
         return {"dir": str(writer.results_dir),
                 "rows_written": writer.rows_written,

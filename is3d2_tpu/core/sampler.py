@@ -774,6 +774,17 @@ def _species_draw_cdf(cdf_flat, cdf_bucket, cell_idx, k_sp, S_count: int,
     return jnp.minimum(lo, S_count - 1), None
 
 
+def _rap_meta(cfg: Config, seed, ev0: int) -> dict:
+    """Host-side metadata for LEAN chunks: marks the chunk as LRF-momentum
+    (ChunkCollector._boost_lrf_to_lab does the lab boost) and seeds the
+    host rapidity stream deterministically per (campaign seed, ev0) --
+    independent of pad/capacity choices and chunk scheduling."""
+    base = seed if seed is not None else (
+        cfg.sampler_seed if cfg.sampler_seed >= 0 else 0)
+    return {"lrf": True, "dimension": cfg.dimension, "y_max": cfg.y_cut,
+            "rap_seed": (int(base) & 0x7FFFFFFF) * 1_000_003 + int(ev0)}
+
+
 def _envelope_tilt_cells(setup: SamplerSetup, cfg: Config):
     """Per-cell mean of the tilted flux envelope, c = (dst + ds/4)/ds_max.
 
@@ -1185,12 +1196,50 @@ def _finalize_device(out: dict, setup: SamplerSetup, cfg: Config,
     field-major takes replace per-field takes (1.1 s -> ~0.1 s).
 
     ``lean`` (static) emits only the columns the streaming particle-list
-    consumers transfer (ChunkCollector._XFER): mass/tau/x/y/t/z/E are
-    derived host-side from sp_idx / cell_idx / eta anyway, so computing
-    and materializing them per chunk on device is pure HBM waste on the
-    production op-2 path (the histogram binner needs them and keeps
-    lean=False)."""
+    consumers transfer (ChunkCollector._XFER_LRF): the LRF momentum plus
+    ids.  Since round 5, lean mode ALSO skips the lab boost, the rapidity
+    draw and the cell-flow gather entirely -- the streaming collector
+    reconstructs the lab kinematics on the host (numpy, overlapped with
+    the compute of queued chunks like the rest of the export), so the
+    device finalize is a pure compaction gather of 6 rows, and the
+    device->host link drops to 18 B/row (3 f32 + i32 + 2 u16).  The
+    histogram binner needs device-side lab kinematics and keeps
+    lean=False."""
     c = setup.cells
+    if lean:
+        # pure kept-row compaction: no boost, no rapidity, no cell gather
+        if pad is None:
+            keep = out["keep"]
+            event, sp_idx, cell_idx = (out["event"], out["sp_idx"],
+                                       out["cell_idx"])
+            px, py, pz = out["px"], out["py"], out["pz"]
+        else:
+            idx, _ = _compaction_index(out["keep"], pad)
+            keep = jnp.arange(pad) < out["kept"]
+            bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+            rows = [bc(out["px"]), bc(out["py"]), bc(out["pz"]),
+                    out["event"].astype(jnp.int32),
+                    out["sp_idx"].astype(jnp.int32),
+                    out["cell_idx"].astype(jnp.int32)]
+            pack = jnp.take(jnp.stack(rows), idx, axis=1)
+            fb = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+            px, py, pz = fb(pack[0]), fb(pack[1]), fb(pack[2])
+            event, sp_idx, cell_idx = pack[3], pack[4], pack[5]
+        # the species table is always < 65536 rows: u16 halves the
+        # transferred bytes of this column
+        sp_idx = sp_idx.astype(jnp.uint16)
+        res = {k: v for k, v in out.items()
+               if k in _SUM_KEYS or k in ("overflow", "mcid", "mass_tab")}
+        res.update(
+            keep=keep, event=event, sp_idx=sp_idx,
+            cell_idx=cell_idx, px=px, py=py, pz=pz,
+            # (cells,)-tables for the host-side boost + positions; the
+            # HOST wrappers attach the "lrf" marker + rapidity metadata
+            # (a Python flag cannot ride a shard_map output dict)
+            cell_tau=c.tau, cell_x=c.x, cell_y=c.y_pos, cell_eta=c.eta,
+            cell_ux=c.ux, cell_uy=c.uy, cell_un=c.un)
+        return res
+
     k_rap = out["_k_rap"]
     # the 2+1d rapidity draw is made at the PRE-compaction capacity width
     # and compacted with the kept rows, so a hadron's rapidity depends only
@@ -1216,26 +1265,23 @@ def _finalize_device(out: dict, setup: SamplerSetup, cfg: Config,
         rows = [bc(out["E"]), bc(out["px"]), bc(out["py"]), bc(out["pz"]),
                 out["event"].astype(jnp.int32),
                 out["sp_idx"].astype(jnp.int32),
-                out["cell_idx"].astype(jnp.int32)]
-        if not lean:
-            rows.append(bc(out["mass"]))
+                out["cell_idx"].astype(jnp.int32),
+                bc(out["mass"])]
         if rap_u is not None:
             rows.append(bc(rap_u))
         pack = jnp.take(jnp.stack(rows), idx, axis=1)
         fb = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
         E, px, py, pz = fb(pack[0]), fb(pack[1]), fb(pack[2]), fb(pack[3])
         event, sp_idx, cell_idx = pack[4], pack[5], pack[6]
-        mass = fb(pack[7]) if not lean else None
+        mass = fb(pack[7])
         if rap_u is not None:
             rap_u = fb(pack[-1])
 
     # cell position/flow at kept width: one packed field-major take
-    crows = [c.tau, c.ux, c.uy, c.un, c.eta]
-    if not lean:
-        crows += [c.x, c.y_pos]
+    crows = [c.tau, c.ux, c.uy, c.un, c.eta, c.x, c.y_pos]
     cpack = jnp.take(jnp.stack(crows), cell_idx, axis=1)
     tau_h, ux_h, uy_h, un_h, eta_cell = (cpack[i] for i in range(5))
-    x_h, y_h = (cpack[5], cpack[6]) if not lean else (None, None)
+    x_h, y_h = cpack[5], cpack[6]
 
     # boost LRF -> lab Milne (Momentum.cpp:14-31)
     basis_h = lrf.milne_basis(tau_h, ux_h, uy_h, un_h)
@@ -1252,24 +1298,16 @@ def _finalize_device(out: dict, setup: SamplerSetup, cfg: Config,
         sinheta = (ptau * sinhy - tau_pn * coshy) / mT
         eta_p = jnp.arcsinh(sinheta)
         pz_lab = mT * sinhy
-        E_lab = None if lean else mT * coshy
+        E_lab = mT * coshy
     else:
         sinheta = jnp.sinh(eta_cell)
         cosheta = jnp.sqrt(1.0 + sinheta * sinheta)
         pz_lab = tau_h * pn * cosheta + ptau * sinheta
-        if lean:
-            E_lab = rap = None
-        else:
-            E_lab = jnp.sqrt(mass * mass + plab_x**2 + plab_y**2
-                             + pz_lab**2)
-            rap = 0.5 * jnp.log((E_lab + pz_lab) / (E_lab - pz_lab))
+        E_lab = jnp.sqrt(mass * mass + plab_x**2 + plab_y**2
+                         + pz_lab**2)
+        rap = 0.5 * jnp.log((E_lab + pz_lab) / (E_lab - pz_lab))
         eta_p = eta_cell
 
-    if lean:
-        # the species table is always < 65536 rows: u16 halves the
-        # transferred bytes of this column (the device->host link is the
-        # exposed cost of the production particle-list stage)
-        sp_idx = sp_idx.astype(jnp.uint16)
     res = {k: v for k, v in out.items()
            if k in _SUM_KEYS or k in ("overflow", "mcid", "mass_tab")}
     res.update(
@@ -1495,6 +1533,8 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
             # (healed/synced chunks must agree with fused ones)
             fin["event"] = fin["event"].astype(jnp.uint16)
         fin["ev0"], fin["n_ev"] = ev0, n_ev
+        if lean:
+            fin.update(_rap_meta(cfg, seed, ev0))
         return fin
 
     bucket = _PAD_BUCKET_SMALL if capacity < (4 << 20) else _PAD_BUCKET_LARGE
@@ -1551,6 +1591,8 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
                                        lean, "alias", ids16=ids16)
             fin["ev0"], fin["n_ev"], fin["_pad"] = ev0, n_ev, pad
             fin["rows_compacted"] = pad < capacity
+            if lean:
+                fin.update(_rap_meta(cfg, seed, ev0))
             pending.append((c, fin))
 
         nxt = start
@@ -1645,6 +1687,9 @@ class ChunkCollector:
     (4 f32 + 1 i32 + 2 u16) instead of 29."""
 
     _XFER = ("event", "sp_idx", "cell_idx", "eta", "px", "py", "pz")
+    _XFER_LRF = ("event", "sp_idx", "cell_idx", "px", "py", "pz")
+    _CELL_LRF = ("cell_tau", "cell_x", "cell_y", "cell_eta", "cell_ux",
+                 "cell_uy", "cell_un")
     _FIELDS = ("event", "sp_idx", "tau", "x", "y", "eta", "px", "py", "pz",
                "mass", "t", "z", "E")
 
@@ -1657,20 +1702,24 @@ class ChunkCollector:
         # compacted chunks put the kept rows ascending in [0:kept_i): slice
         # instead of transferring + applying the pad-width keep mask (the
         # keep column is 1 byte/row of pure link traffic)
+        lrf_mode = bool(ch.get("lrf", False))
+        xfer = self._XFER_LRF if lrf_mode else self._XFER
         sliceable = ch.get("rows_compacted", False) and "kept_i" in ch
-        fields = self._XFER + (("mcid", "mass_tab") if sliceable
-                               else ("keep", "mcid", "mass_tab"))
+        fields = xfer + (("mcid", "mass_tab") if sliceable
+                         else ("keep", "mcid", "mass_tab"))
         host = jax.device_get({f: ch[f] for f in fields})
         if self._cell_tables is None:
+            ctf = self._CELL_LRF if lrf_mode else ("cell_tau", "cell_x",
+                                                   "cell_y")
             self._cell_tables = jax.device_get(
-                {f: ch[f] for f in ("cell_tau", "cell_x", "cell_y")})
+                {f: ch[f] for f in ctf})
         self._mcid_table = host["mcid"]
         if sliceable:
             kept = ch["kept_i"]
-            part = {f: host[f][:kept] for f in self._XFER}
+            part = {f: host[f][:kept] for f in xfer}
         else:
             keep = host["keep"]
-            part = {f: host[f][keep] for f in self._XFER}
+            part = {f: host[f][keep] for f in xfer}
         ct = self._cell_tables
         dtype = part["px"].dtype
         ci = part.pop("cell_idx")
@@ -1679,11 +1728,71 @@ class ChunkCollector:
         part["y"] = np.asarray(ct["cell_y"]).astype(dtype)[ci]
         part["mass"] = np.asarray(host["mass_tab"]).astype(dtype)[
             part["sp_idx"]]
+        if lrf_mode:
+            self._boost_lrf_to_lab(part, ct, ci, ch, dtype)
         part["t"] = part["tau"] * np.cosh(part["eta"])
         part["z"] = part["tau"] * np.sinh(part["eta"])
         part["E"] = np.sqrt(part["mass"] ** 2 + part["px"] ** 2
                             + part["py"] ** 2 + part["pz"] ** 2)
         self._parts.append(part)
+
+    def _boost_lrf_to_lab(self, part, ct, ci, ch, dtype):
+        """Lab kinematics from the LRF momenta + cell flow, on the host
+        (numpy): the Milne-basis boost of _finalize_device / Momentum.cpp:
+        14-31 plus the 2+1d rapidity draw.  Runs in the consumer thread,
+        overlapped with the device compute of queued chunks exactly like
+        the file format/write work -- removing it from the device shrank
+        the finalize phase to a pure compaction gather and the link to
+        18 B/row.  The rapidity stream is seeded per (campaign seed, ev0),
+        so results are independent of pad/capacity choices and chunk
+        scheduling."""
+        tau = part["tau"]
+        ux = np.asarray(ct["cell_ux"]).astype(dtype)[ci]
+        uy = np.asarray(ct["cell_uy"]).astype(dtype)[ci]
+        un = np.asarray(ct["cell_un"]).astype(dtype)[ci]
+        eta_c = np.asarray(ct["cell_eta"]).astype(dtype)[ci]
+        E = np.sqrt(part["mass"] ** 2 + part["px"] ** 2 + part["py"] ** 2
+                    + part["pz"] ** 2)
+        px, py, pz = part["px"], part["py"], part["pz"]
+        # Milne tetrad (physics/lrf.milne_basis, numpy form)
+        tun = tau * un
+        ut = np.sqrt(1.0 + ux * ux + uy * uy + tun * tun)
+        uperp = np.sqrt(ux * ux + uy * uy)
+        utperp = np.sqrt(1.0 + ux * ux + uy * uy)
+        sinhL = tun / utperp
+        coshL = ut / utperp
+        safe = uperp > 1.0e-5
+        inv_up = np.where(safe, 1.0 / np.where(safe, uperp, 1.0), 0.0)
+        Xt = uperp * coshL
+        Xx = np.where(safe, utperp * ux * inv_up, 1.0)
+        Xy = np.where(safe, utperp * uy * inv_up, 0.0)
+        Xn = uperp * sinhL / tau
+        Yx = np.where(safe, -uy * inv_up, 0.0)
+        Yy = np.where(safe, ux * inv_up, 1.0)
+        Zt = sinhL
+        Zn = coshL / tau
+        ptau = E * ut + px * Xt + pz * Zt
+        plx = E * ux + px * Xx + py * Yx
+        ply = E * uy + px * Xy + py * Yy
+        pn = E * un + px * Xn + pz * Zn
+
+        if int(ch.get("dimension", 2)) == 2:
+            y_max = float(ch.get("y_max", 5.0))
+            rng = np.random.default_rng(int(ch.get("rap_seed", 0)))
+            rap = (y_max * (2.0 * rng.random(len(ptau), dtype=np.float32)
+                            - 1.0)).astype(dtype)
+            sinhy = np.sinh(rap)
+            coshy = np.sqrt(1.0 + sinhy * sinhy)
+            tau_pn = tau * pn
+            mT = np.sqrt(np.maximum(ptau * ptau - tau_pn * tau_pn, 1e-30))
+            part["eta"] = np.arcsinh((ptau * sinhy - tau_pn * coshy) / mT)
+            part["pz"] = mT * sinhy
+        else:
+            sinheta = np.sinh(eta_c)
+            cosheta = np.sqrt(1.0 + sinheta * sinheta)
+            part["pz"] = tau * pn * cosheta + ptau * sinheta
+            part["eta"] = eta_c
+        part["px"], part["py"] = plx, ply
 
     def particle_list(self) -> ParticleList:
         cat = {f: np.concatenate([p[f] for p in self._parts])

@@ -20,7 +20,7 @@ except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
 from ..config import Config
-from ..core.sampler import (SamplerSetup, _finalize_device,
+from ..core.sampler import (SamplerSetup, _finalize_device, _rap_meta,
                             _sample_hadrons_jit, _species_cdf)
 from ..core.sampler_hist import bin_histograms_device
 from ..core.spectra import SpeciesArrays
@@ -160,7 +160,9 @@ def _prepare_meshed_campaign(surf, species_table, chosen_idx, df_data,
 # else in the chunk dict is either a psum'd scalar or a replicated table
 _HADRON_KEYS = ("keep", "event", "sp_idx", "cell_idx", "mass", "tau", "x",
                 "y", "eta", "t", "z", "E", "px", "py", "pz", "rapidity")
-_HADRON_KEYS_LEAN = ("keep", "event", "sp_idx", "cell_idx", "eta", "px",
+# lean finalize emits LRF momenta + ids only (the host collector does the
+# lab boost, core/sampler.ChunkCollector._boost_lrf_to_lab)
+_HADRON_KEYS_LEAN = ("keep", "event", "sp_idx", "cell_idx", "px",
                      "py", "pz")
 
 
@@ -208,8 +210,11 @@ def sample_particles_meshed(surf, species_table, chosen_idx, df_data,
         out_specs = {}
         for k in (_HADRON_KEYS_LEAN if lean else _HADRON_KEYS):
             out_specs[k] = P(AX)
-        for k in _SUM_KEYS + ("overflow", "pad_overrun", "mcid", "mass_tab",
-                              "cell_tau", "cell_x", "cell_y"):
+        cell_tabs = ("cell_tau", "cell_x", "cell_y")
+        if lean:
+            cell_tabs += ("cell_eta", "cell_ux", "cell_uy", "cell_un")
+        for k in _SUM_KEYS + ("overflow", "pad_overrun", "mcid",
+                              "mass_tab") + cell_tabs:
             out_specs[k] = P()
 
         ids16 = n_events <= 65535
@@ -271,6 +276,8 @@ def sample_particles_meshed(surf, species_table, chosen_idx, df_data,
                   flush=True)
             run_box["run"] = make_run(run_box["capacity"], run_box["pad"])
         fin["ev0"], fin["n_ev"] = ev0, n_ev
+        if lean:
+            fin.update(_rap_meta(cfg, seed, ev0))
         return fin
 
     n_dev = mesh.devices.size
@@ -325,6 +332,8 @@ def sample_particles_meshed(surf, species_table, chosen_idx, df_data,
                            cell_rate, kr, jnp.asarray(counts),
                            jnp.asarray(starts))
             fin["ev0"], fin["n_ev"] = ev0, n_ev
+            if lean:
+                fin.update(_rap_meta(cfg, seed, ev0))
             pending.append((r, fin))
 
         nxt = start

@@ -444,3 +444,49 @@ def test_sampler_closure_3plus1d(env):
     diff = np.abs(obs - ref)
     assert (diff < 5.0 * sigma + 0.03 * ref).all(), (
         f"3+1d dN/dy mismatch: {obs} vs {ref}")
+
+
+def test_lean_host_boost_matches_device(env):
+    """The lean path's HOST lab boost (ChunkCollector._boost_lrf_to_lab)
+    must reproduce the device boost: with the same seed the kept rows are
+    identical, and the transverse lab momenta px/py are rapidity-
+    independent, so lean (host-boosted) and non-lean (device-boosted)
+    campaigns must agree on them to f32 rounding row by row.  pz/eta
+    differ only through the (independent) rapidity streams -- checked
+    statistically."""
+    species, grids, laguerre, tables, surf, plasma = env
+    from is3d2_tpu.core.sampler import ChunkCollector
+
+    cfg = Config(operation=2, df_mode=1, hrg_eos=3, include_shear_deltaf=1,
+                 include_bulk_deltaf=1, fast=1, y_cut=5.0, cell_block=64)
+    df_data = DeltafData(tables, 1, include_baryon=False)
+    compute_particle_densities(species, df_data, laguerre, plasma)
+    chosen = species.chosen_indices(PIKP)
+
+    n_events = 500
+    coll_lean = ChunkCollector()
+    sample_particles(surf, species, chosen, df_data, cfg, laguerre,
+                     n_events=n_events, seed=21, chunk_consumer=coll_lean,
+                     lean=True)
+    lean_pl = coll_lean.particle_list()
+
+    out = sample_particles(surf, species, chosen, df_data, cfg, laguerre,
+                           n_events=n_events, seed=21)
+    dev_pl = to_particle_list(out)
+    v = dev_pl.valid
+    assert lean_pl.n_valid == v.sum() > 500
+
+    np.testing.assert_array_equal(lean_pl.event, dev_pl.event[v])
+    np.testing.assert_array_equal(lean_pl.mcid, dev_pl.mcid[v])
+    # transverse momenta: same boost algebra, numpy vs XLA f32 rounding
+    np.testing.assert_allclose(lean_pl.px, dev_pl.px[v], rtol=2e-6,
+                               atol=5e-7)
+    np.testing.assert_allclose(lean_pl.py, dev_pl.py[v], rtol=2e-6,
+                               atol=5e-7)
+    np.testing.assert_allclose(lean_pl.tau, dev_pl.tau[v], rtol=1e-6)
+    # rapidity streams are independent: pz agrees in distribution (flat y
+    # over |y| < y_cut -> compare robust quantiles of eta)
+    q = np.linspace(5, 95, 7)
+    a = np.percentile(lean_pl.eta, q)
+    b = np.percentile(dev_pl.eta[v], q)
+    assert np.max(np.abs(a - b)) < 0.35, f"eta quantiles {a} vs {b}"

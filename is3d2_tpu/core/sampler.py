@@ -499,6 +499,35 @@ def _compaction_index(mask, size: int):
     return idx, pos
 
 
+def _pack_ids(cell_idx, sp_idx, event, pack: tuple):
+    """(cell, species, chunk-relative event) -> one u32 lane
+    (cell | sp << cell_bits | event << cell_bits+sp_bits).  ``pack`` =
+    (cell_bits, sp_bits, ev_bits), chosen by the caller so every id range
+    fits (sum <= 32).  Non-kept lanes may carry garbage ids; they are
+    masked field-wise so the packed garbage stays within each field (those
+    rows are discarded host-side either way)."""
+    cb, sb, eb = pack
+    u32 = jnp.uint32
+    u = ((cell_idx.astype(u32) & u32((1 << cb) - 1))
+         | ((sp_idx.astype(u32) & u32((1 << sb) - 1)) << cb)
+         | ((event.astype(u32) & u32((1 << eb) - 1)) << (cb + sb)))
+    return u
+
+
+def unpack_ids(packed, pack: tuple, ev0: int = 0):
+    """Host-side (numpy) inverse of _pack_ids; adds the chunk's ``ev0`` to
+    the relative event ids.  Returns (cell_idx, sp_idx, event) int32/int64
+    arrays."""
+    import numpy as np
+    cb, sb, eb = pack
+    p = np.asarray(packed, dtype=np.uint32)
+    cell = (p & np.uint32((1 << cb) - 1)).astype(np.int64)
+    sp = ((p >> np.uint32(cb)) & np.uint32((1 << sb) - 1)).astype(np.int64)
+    ev = ((p >> np.uint32(cb + sb)) & np.uint32((1 << eb) - 1)).astype(
+        np.int64) + int(ev0)
+    return cell, sp, ev
+
+
 def _sample_momentum(key, mass, sign, T, chem, count_mask=None,
                      rounds_phase1: int = 30, rounds_phase2: int = 200,
                      straggler_frac: int = 16):
@@ -1183,7 +1212,8 @@ _SUM_KEYS = ("total", "mom_proposals", "mom_acceptances", "drawn", "kept",
 
 
 def _finalize_device(out: dict, setup: SamplerSetup, cfg: Config,
-                     pad: int | None = None, lean: bool = False) -> dict:
+                     pad: int | None = None, lean: bool = False,
+                     pack: tuple | None = None) -> dict:
     """Compact to the kept rows (optional) and reconstruct the lab-frame
     Milne kinematics.  Runs AFTER the keep decision so the boost, rapidity
     draw and (t, z) transcendentals cost only the kept width (~30% of the
@@ -1201,10 +1231,19 @@ def _finalize_device(out: dict, setup: SamplerSetup, cfg: Config,
     draw and the cell-flow gather entirely -- the streaming collector
     reconstructs the lab kinematics on the host (numpy, overlapped with
     the compute of queued chunks like the rest of the export), so the
-    device finalize is a pure compaction gather of 6 rows, and the
-    device->host link drops to 18 B/row (3 f32 + i32 + 2 u16).  The
-    histogram binner needs device-side lab kinematics and keeps
-    lean=False."""
+    device finalize is a pure compaction gather, and the device->host link
+    drops to 20 B/row (3 f32 + i32 cell + 2 u16 ids) -- or 16 B/row when
+    ``pack`` is set (see below).  The histogram binner needs device-side
+    lab kinematics and keeps lean=False.
+
+    ``pack`` (static; streaming lean paths only) is a (cell_bits, sp_bits,
+    ev_bits) tuple: the three id columns ride ONE u32 `ids_packed` column
+    (cell | sp << cell_bits | event_rel << cell_bits+sp_bits), cutting the
+    link to 16 B/row AND the compaction gather from 6 rows to 4.  The
+    caller only sets it when every id range fits (bits sum <= 32, always
+    at production scale: 1e5 cells=17b + 493 species=9b + <=64 events per
+    chunk=6b); the event id is CHUNK-RELATIVE -- the host collector adds
+    the chunk's ev0 after unpacking."""
     c = setup.cells
     if lean:
         # pure kept-row compaction: no boost, no rapidity, no cell gather
@@ -1213,26 +1252,42 @@ def _finalize_device(out: dict, setup: SamplerSetup, cfg: Config,
             event, sp_idx, cell_idx = (out["event"], out["sp_idx"],
                                        out["cell_idx"])
             px, py, pz = out["px"], out["py"], out["pz"]
+            if pack is not None:
+                ids_packed = _pack_ids(cell_idx, sp_idx, event, pack)
         else:
             idx, _ = _compaction_index(out["keep"], pad)
             keep = jnp.arange(pad) < out["kept"]
             bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
-            rows = [bc(out["px"]), bc(out["py"]), bc(out["pz"]),
-                    out["event"].astype(jnp.int32),
-                    out["sp_idx"].astype(jnp.int32),
-                    out["cell_idx"].astype(jnp.int32)]
-            pack = jnp.take(jnp.stack(rows), idx, axis=1)
             fb = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
-            px, py, pz = fb(pack[0]), fb(pack[1]), fb(pack[2])
-            event, sp_idx, cell_idx = pack[3], pack[4], pack[5]
-        # the species table is always < 65536 rows: u16 halves the
-        # transferred bytes of this column
-        sp_idx = sp_idx.astype(jnp.uint16)
+            if pack is not None:
+                # pack BEFORE the gather: 4 rows instead of 6
+                ids = _pack_ids(out["cell_idx"], out["sp_idx"],
+                                out["event"], pack)
+                rows = [bc(out["px"]), bc(out["py"]), bc(out["pz"]),
+                        jax.lax.bitcast_convert_type(ids, jnp.int32)]
+                packed = jnp.take(jnp.stack(rows), idx, axis=1)
+                px, py, pz = fb(packed[0]), fb(packed[1]), fb(packed[2])
+                ids_packed = jax.lax.bitcast_convert_type(packed[3],
+                                                          jnp.uint32)
+            else:
+                rows = [bc(out["px"]), bc(out["py"]), bc(out["pz"]),
+                        out["event"].astype(jnp.int32),
+                        out["sp_idx"].astype(jnp.int32),
+                        out["cell_idx"].astype(jnp.int32)]
+                packed = jnp.take(jnp.stack(rows), idx, axis=1)
+                px, py, pz = fb(packed[0]), fb(packed[1]), fb(packed[2])
+                event, sp_idx, cell_idx = packed[3], packed[4], packed[5]
         res = {k: v for k, v in out.items()
                if k in _SUM_KEYS or k in ("overflow", "mcid", "mass_tab")}
+        if pack is not None:
+            res.update(keep=keep, ids_packed=ids_packed, px=px, py=py, pz=pz)
+        else:
+            # the species table is always < 65536 rows: u16 halves the
+            # transferred bytes of this column
+            res.update(keep=keep, event=event,
+                       sp_idx=sp_idx.astype(jnp.uint16),
+                       cell_idx=cell_idx, px=px, py=py, pz=pz)
         res.update(
-            keep=keep, event=event, sp_idx=sp_idx,
-            cell_idx=cell_idx, px=px, py=py, pz=pz,
             # (cells,)-tables for the host-side boost + positions; the
             # HOST wrappers attach the "lrf" marker + rapidity metadata
             # (a Python flag cannot ride a shard_map output dict)
@@ -1326,16 +1381,16 @@ def _finalize_device(out: dict, setup: SamplerSetup, cfg: Config,
 
 
 _finalize_jit = jax.jit(_finalize_device, static_argnames=("cfg", "pad",
-                                                           "lean"))
+                                                           "lean", "pack"))
 
 
 @partial(jax.jit, static_argnames=("cfg", "capacity", "pad", "lean",
-                                   "species_draw", "ids16"))
+                                   "species_draw", "ids16", "pack"))
 def _sample_finalize_jit(setup: SamplerSetup, species: SpeciesArrays,
                          mcid, tab_f, tab_i, cell_rate, key, cfg: Config,
                          capacity: int, n_events, ev0, pad: int | None,
                          lean: bool, species_draw: str,
-                         ids16: bool = False):
+                         ids16: bool = False, pack: tuple | None = None):
     """Hadron pipeline + kept-row finalize fused into ONE device program.
 
     The two-program split (sample, then finalize with a host-chosen pad)
@@ -1348,17 +1403,18 @@ def _sample_finalize_jit(setup: SamplerSetup, species: SpeciesArrays,
     out = _sample_hadrons_jit(setup, species, mcid, tab_f, tab_i,
                               cell_rate, key, cfg, capacity, n_events,
                               species_draw=species_draw)
-    fin = _finalize_device(out, setup, cfg, pad=pad, lean=lean)
-    fin["event"] = fin["event"] + ev0
-    if lean and ids16:
-        # campaign has <= 65535 events (static): u16 halves the event
-        # column's device->host bytes
-        fin["event"] = fin["event"].astype(jnp.uint16)
+    fin = _finalize_device(out, setup, cfg, pad=pad, lean=lean, pack=pack)
+    if "event" in fin:  # packed lean rides event inside ids_packed
+        fin["event"] = fin["event"] + ev0
+        if lean and ids16:
+            # campaign has <= 65535 events (static): u16 halves the event
+            # column's device->host bytes
+            fin["event"] = fin["event"].astype(jnp.uint16)
     return fin
 
 
 def _finalize_chunk(out: dict, setup: SamplerSetup, cfg: Config,
-                    lean: bool = False) -> dict:
+                    lean: bool = False, pack: tuple | None = None) -> dict:
     """Host-side dispatcher: pick the compaction pad and finalize.
 
     ``pad`` is a STATIC shape, so it is bucketed (8192 small / 1<<20 at
@@ -1369,9 +1425,9 @@ def _finalize_chunk(out: dict, setup: SamplerSetup, cfg: Config,
     bucket = _PAD_BUCKET_SMALL if cap < (4 << 20) else _PAD_BUCKET_LARGE
     pad = max(bucket, -(-kept // bucket) * bucket)
     if pad >= cap:
-        fin = _finalize_jit(out, setup, cfg, None, lean)
+        fin = _finalize_jit(out, setup, cfg, None, lean, pack)
     else:
-        fin = _finalize_jit(out, setup, cfg, pad, lean)
+        fin = _finalize_jit(out, setup, cfg, pad, lean, pack)
         fin["rows_compacted"] = True
     fin["kept_i"] = kept
     return fin
@@ -1524,10 +1580,12 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
                 raise RuntimeError("sampler capacity overflow persists "
                                    f"after {retry_box[0]} retries "
                                    f"(total {total})")
-        if n_chunks > 1:
+        if n_chunks > 1 and pack is None:
+            # packed lean chunks keep CHUNK-RELATIVE event ids (they must
+            # fit ev_bits); the host collector adds ev0 after unpacking
             out["event"] = out["event"] + ev0
-        fin = _finalize_chunk(out, setup, cfg, lean)
-        if lean and ids16:
+        fin = _finalize_chunk(out, setup, cfg, lean, pack)
+        if lean and ids16 and "event" in fin:
             # same u16 cast as the pipelined _sample_finalize_jit path, so
             # a campaign stream never mixes event-id dtypes across chunks
             # (healed/synced chunks must agree with fused ones)
@@ -1535,11 +1593,24 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
         fin["ev0"], fin["n_ev"] = ev0, n_ev
         if lean:
             fin.update(_rap_meta(cfg, seed, ev0))
+            if pack is not None:
+                fin["pack_bits"] = pack
         return fin
 
     bucket = _PAD_BUCKET_SMALL if capacity < (4 << 20) else _PAD_BUCKET_LARGE
     # u16 event ids on the device->host link whenever the campaign fits
     ids16 = n_events <= 65535
+    # streaming lean export: pack (cell, species, event_rel) into ONE u32
+    # column when the id ranges fit -- 16 B/row on the device->host link
+    # (3 f32 + u32) instead of 20, and a 4-row compaction gather.  Only for
+    # consumer-streamed campaigns: the collector knows how to unpack.
+    pack = None
+    if lean and chunk_consumer is not None:
+        cb = max(int(setup.cells.n_padded) - 1, 1).bit_length()
+        sb = max(int(np.asarray(mcid).shape[0]) - 1, 1).bit_length()
+        eb = max(events_per_chunk - 1, 1).bit_length()
+        if cb + sb + eb <= 32:
+            pack = (cb, sb, eb)
 
     def bucketed_pad(kept_expect):
         """_PAD_MARGIN + 6 sigma over an expected/measured chunk kept
@@ -1588,11 +1659,14 @@ def sample_particles(surf, species_table: SpeciesTable, chosen_idx,
                                        cdf_bucket, cell_rate, k, cfg,
                                        capacity, n_ev, ev0,
                                        pad if pad < capacity else None,
-                                       lean, "alias", ids16=ids16)
+                                       lean, "alias", ids16=ids16,
+                                       pack=pack)
             fin["ev0"], fin["n_ev"], fin["_pad"] = ev0, n_ev, pad
             fin["rows_compacted"] = pad < capacity
             if lean:
                 fin.update(_rap_meta(cfg, seed, ev0))
+                if pack is not None:
+                    fin["pack_bits"] = pack
             pending.append((c, fin))
 
         nxt = start
@@ -1683,8 +1757,10 @@ class ChunkCollector:
     hadrons through the tunnel), so bytes/row is minimized further: event
     and sp_idx ride as u16 when their ranges fit (always, for sp_idx), and
     compacted chunks skip the keep column entirely -- the kept rows sit
-    ascending in [0:kept_i) and are SLICED host-side.  24 B/hadron-row
-    (4 f32 + 1 i32 + 2 u16) instead of 29."""
+    ascending in [0:kept_i) and are SLICED host-side.  In lean (LRF) mode
+    the ids additionally ride one u32 `ids_packed` column when the chunk
+    carries "pack_bits" (see _pack_ids): 16 B/hadron-row (3 f32 + u32),
+    down from 20 (3 f32 + i32 + 2 u16), 24 (r4) and 29 (r3)."""
 
     _XFER = ("event", "sp_idx", "cell_idx", "eta", "px", "py", "pz")
     _XFER_LRF = ("event", "sp_idx", "cell_idx", "px", "py", "pz")
@@ -1703,7 +1779,11 @@ class ChunkCollector:
         # instead of transferring + applying the pad-width keep mask (the
         # keep column is 1 byte/row of pure link traffic)
         lrf_mode = bool(ch.get("lrf", False))
-        xfer = self._XFER_LRF if lrf_mode else self._XFER
+        pack = ch.get("pack_bits")  # u32-packed (cell, sp, event_rel) ids
+        if pack is not None:
+            xfer = ("ids_packed", "px", "py", "pz")
+        else:
+            xfer = self._XFER_LRF if lrf_mode else self._XFER
         sliceable = ch.get("rows_compacted", False) and "kept_i" in ch
         fields = xfer + (("mcid", "mass_tab") if sliceable
                          else ("keep", "mcid", "mass_tab"))
@@ -1720,6 +1800,14 @@ class ChunkCollector:
         else:
             keep = host["keep"]
             part = {f: host[f][keep] for f in xfer}
+        if pack is not None:
+            ci, sp, ev = unpack_ids(part.pop("ids_packed"), pack,
+                                    ev0=int(ch.get("ev0", 0)))
+            part["cell_idx"] = ci.astype(np.int32)
+            part["sp_idx"] = sp.astype(np.uint16)
+            # host-RAM columns keep ONE dtype for the whole campaign
+            # (never flips when ev0 crosses a width boundary mid-stream)
+            part["event"] = ev.astype(np.int32)
         ct = self._cell_tables
         dtype = part["px"].dtype
         ci = part.pop("cell_idx")
@@ -1743,7 +1831,8 @@ class ChunkCollector:
         overlapped with the device compute of queued chunks exactly like
         the file format/write work -- removing it from the device shrank
         the finalize phase to a pure compaction gather and the link to
-        18 B/row.  The rapidity stream is seeded per (campaign seed, ev0),
+        16 B/row (packed ids; 20 unpacked).  The rapidity stream is seeded
+        per (campaign seed, ev0),
         so results are independent of pad/capacity choices and chunk
         scheduling."""
         tau = part["tau"]

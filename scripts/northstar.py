@@ -90,7 +90,11 @@ def run_cli_once(wd: Path, label: str, timeout: int = 1800) -> dict:
     sys.stderr.write(r.stderr[-4000:])
     if r.returncode != 0:
         raise RuntimeError(f"{label} failed (rc={r.returncode})")
-    stages = {"process_wall": wall}
+    stages = {"process_wall": wall,
+              # each stage record carries the date it was MEASURED, so a
+              # merged NORTHSTAR.json shows per-stage which code vintage
+              # produced each number (merge_best replaces whole stage dicts)
+              "measured": time.strftime("%Y-%m-%d")}
     for name, rx in STAGE_RE.items():
         m = rx.search(r.stdout)
         if m:
@@ -211,6 +215,7 @@ def run_ensemble_stage(n_surf: int, n_cells: int) -> dict:
         f"(overflow healed: {int(np.asarray(overflow).sum())})")
 
     return {"n_surfaces": n_surf, "n_cells": n_cells,
+            "measured": time.strftime("%Y-%m-%d"),
             "surface_chunk": chunk,
             "surface_build_s": round(build_s, 1),
             "spectra_wall_s": round(spectra_s, 3),

@@ -137,6 +137,14 @@ def measure_sampler(surf, species_t, chosen, df_data, cfg, ref):
     bucket = 8192 if cap < (4 << 20) else (1 << 20)
     pad = int(kept0 * 1.25 + 6.0 * np.sqrt(max(kept0, 1.0)) + 1024)
     pad = min(max(bucket, -(-pad // bucket) * bucket), cap)
+    # u32 id packing, exactly as the production streamed campaign chooses
+    # it (sample_particles): 16 B/row link, 4-row compaction gather
+    pack = None
+    cb = max(int(setup.cells.n_padded) - 1, 1).bit_length()
+    sb = max(int(np.asarray(mcid).shape[0]) - 1, 1).bit_length()
+    eb = max(n_events - 1, 1).bit_length()
+    if cb + sb + eb <= 32:
+        pack = (cb, sb, eb)
 
     def run_once():
         # the fused steady-state program the pipelined chunk stream uses
@@ -146,7 +154,7 @@ def measure_sampler(surf, species_t, chosen, df_data, cfg, ref):
                                      cdf_bucket, cell_rate, key, cfg2, cap,
                                      n_events, 0,
                                      pad if pad < cap else None, True,
-                                     "alias")
+                                     "alias", pack=pack)
         # force the finalized columns (host read: fences on axon)
         float(fin["pz"].sum())
         return int(fin["kept"]), int(fin["drawn"])

@@ -262,6 +262,9 @@ def main():
         sa = merged.get("sampler_histograms", {}).get("compute")
         if sp is not None and sa is not None:
             merged["northstar_compute_seconds_single_chip"] = round(sp + sa, 3)
+        # top-level date = last merge; per-stage "measured" keys carry the
+        # provenance of each individual record (merge_best keeps the faster)
+        merged["measured_date"] = time.strftime("%Y-%m-%d")
         out_path.write_text(json.dumps(merged, indent=2) + "\n")
         return merged
 

@@ -485,17 +485,39 @@ def _rejection_loop(key, mbar, mbar2, sign, chem, light, weq_max,
     return accepted, pbar, Ebar, phi2pi, costh, feq, prop_count
 
 
+# how _compaction_index builds the kept-lane index:
+#   "scatter"      -- one full-width int32 scatter (the round-3/4 path)
+#   "searchsorted" -- log2(n) vectorized-bisection gathers at OUTPUT width
+# Both produce bitwise-identical output (the searchsorted variant zeroes
+# the padding slots to match).  The gather variant replaces the n-update
+# scatter with ~log2(n) passes of `size` gathered elements: scatters on
+# v5e resolve update indices serially per tile, so at n=5.6M the scatter
+# is the dominant cost of BOTH the momentum straggler compaction and the
+# kept-row finalize (measured via tools/finalize_profile.py); flipped only
+# if the on-silicon A/B confirms.
+_COMPACTION_METHOD = "scatter"
+
+
 def _compaction_index(mask, size: int):
     """Indices of the True lanes of ``mask`` in ascending order, padded with
-    0 (duplicates of lane 0) -- jnp.nonzero(size=...) semantics, built with
-    ONE int32 scatter.  The nonzero lowering costs ~12x at 1e7 lanes on v5e
-    (890 ms vs 72 ms): it is also scatter-based but materializes argwhere
-    intermediates.  True lanes beyond ``size`` are simply not represented."""
+    0 (duplicates of lane 0) -- jnp.nonzero(size=...) semantics.  The
+    jnp.nonzero lowering costs ~12x at 1e7 lanes on v5e (890 ms vs 72 ms):
+    it is also scatter-based but materializes argwhere intermediates.
+    True lanes beyond ``size`` are simply not represented."""
     n = mask.shape[0]
-    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    tgt = jnp.where(mask, pos, size)
-    idx = jnp.zeros(size, jnp.int32).at[tgt].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    cum = jnp.cumsum(mask.astype(jnp.int32))
+    pos = cum - 1
+    if _COMPACTION_METHOD == "searchsorted":
+        j = jnp.arange(size, dtype=jnp.int32)
+        # first lane where cum > j == the j-th kept lane (cum hits j+1
+        # there); zero the padding slots (j >= total kept) for bitwise
+        # parity with the scatter construction
+        idx = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
+        idx = jnp.where(j < cum[-1], idx, 0)
+    else:
+        tgt = jnp.where(mask, pos, size)
+        idx = jnp.zeros(size, jnp.int32).at[tgt].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")
     return idx, pos
 
 

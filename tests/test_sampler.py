@@ -490,3 +490,26 @@ def test_lean_host_boost_matches_device(env):
     a = np.percentile(lean_pl.eta, q)
     b = np.percentile(dev_pl.eta[v], q)
     assert np.max(np.abs(a - b)) < 0.35, f"eta quantiles {a} vs {b}"
+
+
+def test_compaction_index_methods_bitwise_equal(env, monkeypatch):
+    """The searchsorted compaction build must be bitwise-identical to the
+    scatter build (idx AND pos), including the zeroed padding slots, at
+    sizes below, at, and above the kept count."""
+    import jax
+    import jax.numpy as jnp
+    from is3d2_tpu.core import sampler as S
+
+    key = jax.random.PRNGKey(42)
+    for n, frac in ((10_000, 0.43), (10_000, 0.0), (10_000, 1.0),
+                    (8_192, 0.07)):
+        mask = jax.random.uniform(key, (n,), dtype=jnp.float32) < frac
+        kept = int(jnp.sum(mask.astype(jnp.int32)))
+        for size in sorted({1024, max(kept // 2, 1), kept or 1,
+                            kept + 1000, n}):
+            monkeypatch.setattr(S, "_COMPACTION_METHOD", "scatter")
+            ia, pa = S._compaction_index(mask, size)
+            monkeypatch.setattr(S, "_COMPACTION_METHOD", "searchsorted")
+            ib, pb = S._compaction_index(mask, size)
+            np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+            np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
